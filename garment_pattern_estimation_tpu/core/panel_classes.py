@@ -1,0 +1,50 @@
+"""Panel classification: (template, panel-name) -> class index.
+
+Behavioral counterpart of the reference's ``nn/data/panel_classes.py``:
+the class file is a JSON object mapping class names to lists of
+``[template, panel]`` pairs; class order in the file defines indices, and the
+number of classes drives ``max_pattern_len`` when classification is enabled.
+"""
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+
+import numpy as np
+
+
+class PanelClasses:
+    """Access panel classification by garment-template role."""
+
+    def __init__(self, classes_file):
+        self.filename = str(classes_file)
+        with open(classes_file, 'r') as f:
+            self.classes = json.load(f, object_pairs_hook=OrderedDict)
+
+        self.names = list(self.classes.keys())
+        self.panel_to_idx = {}
+        for idx, class_name in enumerate(self.classes):
+            for panel in self.classes[class_name]:
+                self.panel_to_idx[tuple(panel)] = idx
+
+    def __len__(self):
+        return len(self.classes)
+
+    def class_idx(self, template, panel):
+        """Index of the class the (template, panel) pair belongs to."""
+        return self.panel_to_idx[(template, panel)]
+
+    def class_name(self, idx):
+        return self.names[idx]
+
+    def map(self, template_name, panel_list):
+        """Map panel names (for one template) to class ids; 'stitch' labels
+        map to -1 with a warning (reference: panel_classes.py:819-830)."""
+        out_list = np.empty(len(panel_list))
+        for idx, panel in enumerate(panel_list):
+            if panel == 'stitch':
+                out_list[idx] = -1
+                print(f'{self.__class__.__name__}::Warning::Mapping stitch label')
+            else:
+                out_list[idx] = self.panel_to_idx[(template_name, panel)]
+        return out_list
