@@ -1,0 +1,477 @@
+"""Neural building blocks (flax): point-cloud encoders + sequence decoders.
+
+Re-designs of the reference's `nn/net_blocks.py` for rectangular TPU batches:
+no torch-geometric flat-batch format — point clouds stay (B, N, C) so every
+op is a fused XLA primitive (gathers, matmuls, masked reductions) and the kNN
+graph build routes through `ops.knn` (Pallas on TPU).
+
+Recurrent decoders are `lax.scan`-based cells with torch's parameter layout
+and gate order (i, f, g, o for LSTM; r, z, n for GRU) so reference `.pth`
+checkpoints map onto the pytree without gate reshuffling
+(see experiment/torch_import.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import knn as knn_ops
+from ..ops.pooling import GLOBAL_POOLS, gather_neighbors
+
+
+def kaiming_normal_torch(key, shape, dtype=jnp.float32):
+    """torch's kaiming_normal_ default: std = sqrt(2 / fan_in) where fan_in is
+    the product of all dims but the first (torch weight layout)."""
+    fan_in = 1
+    for d in shape[1:]:
+        fan_in *= d
+    std = (2.0 / max(fan_in, 1)) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class MLP(nn.Module):
+    """Dense -> ReLU -> BatchNorm stacks, in the reference's (non-standard)
+    order with BN *after* the activation (nn/net_blocks.py:43-47).
+
+    Expects 2D input (rows, features) — same contract as torch BatchNorm1d.
+    """
+    features: Sequence[int]
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for size in self.features:
+            x = nn.Dense(size)(x)
+            x = nn.relu(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9, epsilon=1e-5)(x)
+        return x
+
+
+# ----------------------------------------------------------------------
+# EdgeConv encoder (DGCNN-style)
+# ----------------------------------------------------------------------
+
+class EdgeConv(nn.Module):
+    """One dynamic EdgeConv layer: kNN graph from *current* features, edge
+    MLP on [x_i ; x_j - x_i], max (or mean/sum) aggregation over neighbors."""
+    mlp_features: Sequence[int]
+    k: int = 5
+    aggr: str = 'max'
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, N, C = x.shape
+        idx = knn_ops.knn(jax.lax.stop_gradient(x), self.k, use_pallas=self.use_pallas)
+        neighbors = gather_neighbors(x, idx)                     # (B, N, k, C)
+        center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+        edge_features = jnp.concatenate([center, neighbors - center], axis=-1)
+
+        flat = edge_features.reshape(-1, 2 * C)
+        out = MLP(self.mlp_features)(flat, train=train)
+        out = out.reshape(B, N, self.k, -1)
+
+        if self.aggr == 'max':
+            return jnp.max(out, axis=2)
+        if self.aggr == 'mean':
+            return jnp.mean(out, axis=2)
+        if self.aggr == 'add':
+            return jnp.sum(out, axis=2)
+        raise ValueError(f'EdgeConv::unsupported aggregation {self.aggr}')
+
+
+class EdgeConvFeatures(nn.Module):
+    """Point-cloud feature extractor: stacked dynamic EdgeConv layers +
+    optional xyz skip connection + global pool + linear head
+    (reference: nn/net_blocks.py:93-191).
+
+    Returns (global_encoding | None, per_point_features (B, N, F), mask)."""
+    out_size: int
+    conv_depth: int = 2
+    k_neighbors: int = 5
+    econv_hidden: int = 200
+    econv_hidden_depth: int = 2
+    econv_feature: int = 112
+    econv_aggr: str = 'max'
+    global_pool: str = 'mean'
+    skip_connections: bool = False
+    graph_pooling: bool = False
+    pool_ratio: float = 0.1
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, positions, pool_global: bool = True, train: bool = False):
+        if self.graph_pooling:
+            features_by_layer = [int(self.econv_feature / c)
+                                 for c in range(self.conv_depth, 0, -1)]
+            hidden_by_layer = [int(self.econv_hidden / c)
+                               for c in range(self.conv_depth, 0, -1)]
+        else:
+            features_by_layer = [self.econv_feature] * self.conv_depth
+            hidden_by_layer = [self.econv_hidden] * self.conv_depth
+
+        out = positions
+        for conv_id in range(self.conv_depth):
+            mlp_sizes = [hidden_by_layer[conv_id]] * self.econv_hidden_depth \
+                        + [features_by_layer[conv_id]]
+            out = EdgeConv(mlp_sizes, k=self.k_neighbors, aggr=self.econv_aggr,
+                           use_pallas=self.use_pallas,
+                           name=f'conv{conv_id}')(out, train=train)
+            if self.graph_pooling:
+                raise NotImplementedError(
+                    'EdgeConvFeatures::graph_pooling is not implemented yet '
+                    '(not used by any shipped model config)')
+
+        if self.skip_connections:
+            out = jnp.concatenate([out, positions], axis=-1)
+
+        if pool_global:
+            pooled = GLOBAL_POOLS[self.global_pool](out)
+            encoding = nn.Dense(self.out_size, name='lin')(pooled)
+            return encoding, out, None
+        return None, out, None
+
+    def pool(self, features, mask=None):
+        """The configured global pool as a standalone fn (used by the
+        attention head to pool per-panel weighted features)."""
+        return GLOBAL_POOLS[self.global_pool](features, mask)
+
+
+# ----------------------------------------------------------------------
+# PointNet++ encoder
+# ----------------------------------------------------------------------
+
+def farthest_point_sampling(positions, num_samples):
+    """FPS indices (B, M) over (B, N, 3); starts from point 0 (deterministic)."""
+    B, N, _ = positions.shape
+
+    def per_cloud(pts):
+        def body(i, state):
+            dists, idx = state
+            last = pts[idx[i - 1]]
+            new_d = jnp.sum((pts - last) ** 2, axis=-1)
+            dists = jnp.minimum(dists, new_d)
+            idx = idx.at[i].set(jnp.argmax(dists))
+            return dists, idx
+
+        init_idx = jnp.zeros(num_samples, dtype=jnp.int32)
+        init_d = jnp.full(N, jnp.inf)
+        _, idx = jax.lax.fori_loop(1, num_samples, body, (init_d, init_idx))
+        return idx
+
+    return jax.vmap(per_cloud)(positions)
+
+
+class SetAbstraction(nn.Module):
+    """FPS centroids + radius neighborhoods + PointNet local feature
+    (reference: nn/net_blocks.py:10-25), masked fixed-capacity form."""
+    mlp_features: Sequence[int]
+    ratio: float = 0.2
+    radius: float = 0.3
+    max_neighbors: int = 25
+
+    @nn.compact
+    def __call__(self, features, positions, train: bool = False):
+        B, N, _ = positions.shape
+        M = max(int(self.ratio * N), 1)
+        centroid_idx = farthest_point_sampling(positions, M)               # (B, M)
+        centroids = jnp.take_along_axis(positions, centroid_idx[..., None], axis=1)
+
+        d = knn_ops.pairwise_sq_dists(centroids, positions)                # (B, M, N)
+        within = d <= self.radius ** 2
+        # cap the neighborhood: nearest `max_neighbors` inside the radius
+        capped = jnp.where(within, d, jnp.inf)
+        neg_top, nbr_idx = jax.lax.top_k(-capped, min(self.max_neighbors, N))
+        valid = jnp.isfinite(-neg_top)                                      # (B, M, K)
+
+        nbr_pos = jnp.take_along_axis(
+            positions[:, :, None, :], nbr_idx[..., None], axis=1)           # (B, M, K, 3)
+        rel_pos = nbr_pos - centroids[:, :, None, :]
+        if features is not None:
+            nbr_feat = jnp.take_along_axis(
+                features[:, :, None, :], nbr_idx[..., None], axis=1)
+            local = jnp.concatenate([nbr_feat, rel_pos], axis=-1)
+        else:
+            local = rel_pos
+
+        flat = local.reshape(-1, local.shape[-1])
+        h = MLP(self.mlp_features)(flat, train=train).reshape(*local.shape[:3], -1)
+        h = jnp.where(valid[..., None], h, -jnp.inf)
+        pooled = jnp.max(h, axis=2)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)  # empty neighborhoods
+        return pooled, centroids
+
+
+class PointNetPlusPlus(nn.Module):
+    """Alternative global encoder (config `feature_extractor:
+    PointNetPlusPlus` — reference: nn/net_blocks.py:50-88)."""
+    out_size: int
+    econv_hidden: int = 200
+    econv_feature: int = 150
+    r1: float = 0.3
+
+    @nn.compact
+    def __call__(self, positions, pool_global: bool = True, train: bool = False):
+        h, pos = SetAbstraction(
+            [self.econv_hidden, self.econv_hidden, self.econv_feature],
+            ratio=0.2, radius=self.r1, name='sa1')(None, positions, train=train)
+        # global set abstraction: per-point MLP on [h ; pos], max pool
+        local = jnp.concatenate([h, pos], axis=-1)
+        flat = local.reshape(-1, local.shape[-1])
+        g = MLP([self.econv_hidden, self.econv_hidden, self.econv_feature])(
+            flat, train=train).reshape(*local.shape[:2], -1)
+        pooled = jnp.max(g, axis=1)
+        encoding = nn.Dense(self.out_size, name='lin')(pooled)
+        if pool_global:
+            return encoding, g, None
+        return None, g, None
+
+    def pool(self, features, mask=None):
+        return GLOBAL_POOLS['max'](features, mask)
+
+
+# ----------------------------------------------------------------------
+# Recurrent cells (torch layout) + decoders
+# ----------------------------------------------------------------------
+
+class TorchLSTM(nn.Module):
+    """Multi-layer LSTM over (B, T, C), parameterized like torch.nn.LSTM:
+    per layer `w_ih` (in, 4H), `w_hh` (H, 4H), `b_ih`, `b_hh` (4H,), gate
+    order (i, f, g, o). Scanned over time with lax.scan."""
+    hidden_size: int
+    n_layers: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, inputs, init_states, train: bool = False):
+        """inputs (B, T, C); init_states: list of (h0, c0) per layer.
+        Returns (outputs (B, T, H), final (h, c) of last layer)."""
+        x = inputs
+        final_states = []
+        for layer in range(self.n_layers):
+            in_size = x.shape[-1]
+            w_ih = self.param(f'l{layer}_w_ih', kaiming_normal_torch,
+                              (4 * self.hidden_size, in_size))
+            w_hh = self.param(f'l{layer}_w_hh', kaiming_normal_torch,
+                              (4 * self.hidden_size, self.hidden_size))
+            b_ih = self.param(f'l{layer}_b_ih', _torch_rnn_bias_init(self.hidden_size),
+                              (4 * self.hidden_size,))
+            b_hh = self.param(f'l{layer}_b_hh', _torch_rnn_bias_init(self.hidden_size),
+                              (4 * self.hidden_size,))
+
+            # pre-compute the input projection for the whole sequence (MXU-friendly)
+            gates_x = jnp.einsum('btc,gc->btg', x, w_ih) + b_ih + b_hh
+
+            def step(carry, gx):
+                h, c = carry
+                gates = gx + h @ w_hh.T
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+                return (h_new, c_new), h_new
+
+            (h_fin, c_fin), outs = jax.lax.scan(
+                step, init_states[layer], jnp.swapaxes(gates_x, 0, 1))
+            x = jnp.swapaxes(outs, 0, 1)
+            final_states.append((h_fin, c_fin))
+            if self.dropout > 0 and train and layer < self.n_layers - 1:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x, final_states
+
+
+class TorchGRU(nn.Module):
+    """Multi-layer GRU, torch layout/gate order (r, z, n)."""
+    hidden_size: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, inputs, init_states, train: bool = False):
+        x = inputs
+        for layer in range(self.n_layers):
+            in_size = x.shape[-1]
+            w_ih = self.param(f'l{layer}_w_ih', kaiming_normal_torch,
+                              (3 * self.hidden_size, in_size))
+            w_hh = self.param(f'l{layer}_w_hh', kaiming_normal_torch,
+                              (3 * self.hidden_size, self.hidden_size))
+            b_ih = self.param(f'l{layer}_b_ih', _torch_rnn_bias_init(self.hidden_size),
+                              (3 * self.hidden_size,))
+            b_hh = self.param(f'l{layer}_b_hh', _torch_rnn_bias_init(self.hidden_size),
+                              (3 * self.hidden_size,))
+
+            gates_x = jnp.einsum('btc,gc->btg', x, w_ih) + b_ih
+
+            def step(carry, gx):
+                h = carry
+                gh = h @ w_hh.T + b_hh
+                xr, xz, xn = jnp.split(gx, 3, axis=-1)
+                hr, hz, hn = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+                h_new = (1 - z) * n + z * h
+                return h_new, h_new
+
+            _, outs = jax.lax.scan(step, init_states[layer], jnp.swapaxes(gates_x, 0, 1))
+            x = jnp.swapaxes(outs, 0, 1)
+        return x
+
+
+def _torch_rnn_bias_init(hidden_size):
+    """torch.nn.LSTM/GRU bias default: U(-1/sqrt(H), 1/sqrt(H))."""
+    bound = 1.0 / (hidden_size ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class _StateInitMixin:
+    """Random ('kaiming_normal') or zero initial recurrent states.
+
+    The reference draws *fresh random* initial h/c on every forward
+    (nn/net_blocks.py:302-315, 391-392) — a deliberate tiny noise injection
+    with std sqrt(2 / (batch * hidden)). We reproduce it via the
+    'recurrent_init' rng collection; without that rng, states are zeros
+    (deterministic eval / serving)."""
+
+    def _init_states(self, module, batch_size, n_layers, hidden, with_cell=True):
+        def draw(name):
+            if module.state_init and 'kaiming_normal' in module.state_init \
+                    and module.has_rng('recurrent_init'):
+                key = module.make_rng('recurrent_init')
+                std = (2.0 / (batch_size * hidden)) ** 0.5
+                return std * jax.random.normal(key, (batch_size, hidden))
+            return jnp.zeros((batch_size, hidden))
+
+        if with_cell:
+            return [(draw(f'h{l}'), draw(f'c{l}')) for l in range(n_layers)]
+        return [draw(f'h{l}') for l in range(n_layers)]
+
+
+class LSTMDecoderModule(nn.Module, _StateInitMixin):
+    """Encoding -> sequence: the encoding is repeated `out_len` times as the
+    LSTM input, a linear head maps hidden states to elements
+    (reference: nn/net_blocks.py:363-402)."""
+    encoding_size: int
+    hidden_size: int
+    out_elem_size: int
+    n_layers: int
+    out_len: int
+    dropout: float = 0.0
+    state_init: str = 'kaiming_normal'
+
+    @nn.compact
+    def __call__(self, encodings, out_len=None, train: bool = False):
+        out_len = out_len or self.out_len
+        B = encodings.shape[0]
+        dec_input = jnp.repeat(encodings[:, None, :], out_len, axis=1)
+        states = self._init_states(self, B, self.n_layers, self.hidden_size)
+        out, _ = TorchLSTM(self.hidden_size, self.n_layers, self.dropout,
+                           name='lstm')(dec_input, states, train=train)
+        return nn.Dense(self.out_elem_size, name='lin')(out)
+
+
+class LSTMDoubleReverseDecoderModule(nn.Module, _StateInitMixin):
+    """Reverse-order decode, then a forward refinement pass with a skip
+    concat of the original input (reference: nn/net_blocks.py:405-454)."""
+    encoding_size: int
+    hidden_size: int
+    out_elem_size: int
+    n_layers: int
+    out_len: int
+    dropout: float = 0.0
+    state_init: str = 'kaiming_normal'
+
+    @nn.compact
+    def __call__(self, encodings, out_len=None, train: bool = False):
+        out_len = out_len or self.out_len
+        B = encodings.shape[0]
+        dec_input = jnp.repeat(encodings[:, None, :], out_len, axis=1)
+        states = self._init_states(self, B, self.n_layers, self.hidden_size)
+        out, fin_states = TorchLSTM(self.hidden_size, self.n_layers, self.dropout,
+                                    name='lstm_reverse')(dec_input, states, train=train)
+        out = jnp.flip(out, axis=1)
+        out = jnp.concatenate([out, dec_input], axis=-1)
+        # the forward pass continues from the reverse pass's final state
+        out, _ = TorchLSTM(self.hidden_size, self.n_layers, self.dropout,
+                           name='lstm_forward')(out, fin_states, train=train)
+        return nn.Dense(self.out_elem_size, name='lin')(out)
+
+
+class GRUDecoderModule(nn.Module, _StateInitMixin):
+    """GRU variant of the sequence decoder (reference: nn/net_blocks.py:457-497)."""
+    encoding_size: int
+    hidden_size: int
+    out_elem_size: int
+    n_layers: int
+    out_len: int
+    dropout: float = 0.0
+    state_init: str = 'kaiming_normal'
+
+    @nn.compact
+    def __call__(self, encodings, out_len=None, train: bool = False):
+        out_len = out_len or self.out_len
+        B = encodings.shape[0]
+        dec_input = jnp.repeat(encodings[:, None, :], out_len, axis=1)
+        states = self._init_states(self, B, self.n_layers, self.hidden_size,
+                                   with_cell=False)
+        out = TorchGRU(self.hidden_size, self.n_layers, name='gru')(
+            dec_input, states, train=train)
+        return nn.Dense(self.out_elem_size, name='lin')(out)
+
+
+class LSTMEncoderModule(nn.Module, _StateInitMixin):
+    """Sequence -> encoding (last hidden state of the last layer)
+    (reference: nn/net_blocks.py:336-360; unused by shipped configs)."""
+    encoding_size: int
+    n_layers: int
+    dropout: float = 0.0
+    state_init: str = 'kaiming_normal'
+
+    @nn.compact
+    def __call__(self, sequences, train: bool = False):
+        B = sequences.shape[0]
+        states = self._init_states(self, B, self.n_layers, self.encoding_size)
+        _, fin_states = TorchLSTM(self.encoding_size, self.n_layers, self.dropout,
+                                  name='lstm')(sequences, states, train=train)
+        return fin_states[-1][0]
+
+
+class MLPDecoder(nn.Module):
+    """MLP decode of latent -> fixed-length sequence
+    (reference: nn/net_blocks.py:273-298)."""
+    encoding_size: int
+    hidden_size: int
+    out_elem_size: int
+    n_layers: int
+    out_len: int
+    dropout: float = 0.0
+    state_init: str = ''
+
+    @nn.compact
+    def __call__(self, encodings, out_len=None, train: bool = False):
+        out_len = out_len or self.out_len
+        sizes = [self.hidden_size * out_len] * self.n_layers \
+                + [self.out_elem_size * out_len]
+        out = MLP(sizes)(encodings, train=train)
+        return out.reshape(encodings.shape[0], out_len, -1)
+
+
+DECODER_REGISTRY = {
+    'LSTMDecoderModule': LSTMDecoderModule,
+    'LSTMDoubleReverseDecoderModule': LSTMDoubleReverseDecoderModule,
+    'GRUDecoderModule': GRUDecoderModule,
+    'MLPDecoder': MLPDecoder,
+}
+
+ENCODER_REGISTRY = {
+    'EdgeConvFeatures': EdgeConvFeatures,
+    'PointNetPlusPlus': PointNetPlusPlus,
+}
