@@ -1,0 +1,787 @@
+"""Garment datasets: folder scanning, caching, splits, standardization,
+feature/GT assembly, prediction saving.
+
+Behavioral counterpart of nn/data/datasets.py on a numpy pipeline:
+  * BaseDataset — folder-of-subfolders scan, per-folder start ids, caches,
+    transform pipeline, random/count/dict splits
+  * GarmentBaseDataset — failed-sim filtering via dataset_properties.json,
+    template nicknames, design-parameter filtering, size inference
+  * Garment3DPatternFullDataset — point-cloud features (sampled via the
+    native preprocessing library, deterministic per datapoint), padded
+    pattern GT dict, standardization stats, prediction -> spec saving
+  * GarmentStitchPairsDataset — edge-pair features for the stitch model,
+    preferring `*predicted*specification.json` files
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+from ..core import NNSewingPattern, PanelClasses, Properties, InvalidPatternDefError
+from ..preprocess import mesh as mesh_ops
+from ..losses.stitches import tags_to_stitches_np
+from . import transforms
+from .loader import Subset, DataLoader
+
+
+class BaseDataset:
+    """Folder-of-subfolders dataset base: datapoint listing, caching,
+    transform pipeline, splits (reference: nn/data/datasets.py:20-338)."""
+
+    def __init__(self, root_dir, start_config=None, gt_caching=False,
+                 feature_caching=False, in_transforms=None):
+        start_config = dict(start_config or {'data_folders': []})
+        self.root_path = Path(root_dir)
+        self.config = {}
+        self.update_config(start_config)
+        self.config['class'] = self.__class__.__name__
+
+        self.data_folders = self.config['data_folders']
+        self.data_folders_nicknames = dict(zip(self.data_folders, self.data_folders))
+
+        self.datapoints_names = []
+        self.dataset_start_ids = []
+        for data_folder in self.data_folders:
+            _, dirs, _ = next(os.walk(self.root_path / data_folder))
+            names = [data_folder + '/' + name for name in sorted(dirs)]
+            self.dataset_start_ids.append((data_folder, len(self.datapoints_names)))
+            clean_list = self._clean_datapoint_list(names, data_folder)
+            max_per_type = self.config.get('max_datapoints_per_type')
+            if max_per_type is not None and len(clean_list) > max_per_type:
+                clean_list = clean_list[:max_per_type]
+            self.datapoints_names += clean_list
+        self.dataset_start_ids.append((None, len(self.datapoints_names)))
+        self.config['size'] = len(self)
+
+        self.gt_cached, self.gt_caching = {}, gt_caching
+        self.feature_cached, self.feature_caching = {}, feature_caching
+
+        self.transforms = [transforms.SampleToTensor()] + list(in_transforms or [])
+
+        if 'standardize' in self.config:
+            self.standardize()
+
+        self._estimate_data_shape()
+
+    # ---- experiment hook ----
+    def save_to_wandb(self, experiment):
+        """Record the data configuration into the experiment tracker.
+        (Name kept from the reference API; works with the local tracker.)"""
+        experiment.add_config('dataset', self.config)
+
+    # ---- core protocol ----
+    def __len__(self):
+        return len(self.datapoints_names)
+
+    def __getitem__(self, idx):
+        datapoint_name = self.datapoints_names[idx]
+        features, ground_truth = self._get_sample_info(datapoint_name)
+        folder, name = datapoint_name.split('/')
+        sample = {'features': features, 'ground_truth': ground_truth,
+                  'name': name, 'data_folder': folder}
+        for transform in self.transforms:
+            sample = transform(sample)
+        return sample
+
+    def update_config(self, in_config):
+        self.config.update(in_config)
+        if not self.config.get('data_folders') or not isinstance(
+                self.config['data_folders'], list):
+            raise RuntimeError(
+                'BaseDataset::Error::information on datasets (folders) to use '
+                'is missing in the incoming config')
+        self._update_on_config_change()
+
+    def _drop_cache(self):
+        self.gt_cached = {}
+        self.feature_cached = {}
+
+    # ---- split machinery ----
+    def indices_by_data_folder(self, index_list):
+        """Split given global indices per data folder. Returns
+        ({folder: global ids}, {folder: positions within index_list})."""
+        index_list = np.asarray(index_list)
+        ids_dict, mapping = {}, {}
+        self.dataset_start_ids = sorted(self.dataset_start_ids, key=lambda x: x[1])
+        for i in range(len(self.dataset_start_ids) - 1):
+            folder = self.dataset_start_ids[i][0]
+            lo, hi = self.dataset_start_ids[i][1], self.dataset_start_ids[i + 1][1]
+            selection = (index_list >= lo) & (index_list < hi)
+            ids_dict[folder] = index_list[selection]
+            mapping[folder] = np.flatnonzero(selection)
+        return ids_dict, mapping
+
+    def subsets_per_datafolder(self, index_list=None):
+        if index_list is None:
+            index_list = list(range(len(self)))
+        per_data, _ = self.indices_by_data_folder(index_list)
+        return {
+            self.data_folders_nicknames[folder]: Subset(self, ids)
+            for folder, ids in per_data.items()
+        }
+
+    def random_split_by_dataset(self, valid_per_type, test_per_type=0,
+                                split_type='count', with_breakdown=False, rng=None):
+        """Per-folder random split by count or percent
+        (reference: nn/data/datasets.py:180-244)."""
+        if split_type not in ('count', 'percent'):
+            raise NotImplementedError(
+                f'{self.__class__.__name__}::Error::unsupported split type {split_type}')
+        rng = rng or np.random.default_rng()
+
+        train_ids, valid_ids, test_ids = [], [], []
+        train_bd, valid_bd, test_bd = {}, {}, {}
+        for dataset_id in range(len(self.data_folders)):
+            nickname = self.data_folders_nicknames[self.data_folders[dataset_id]]
+            start_id = self.dataset_start_ids[dataset_id][1]
+            end_id = self.dataset_start_ids[dataset_id + 1][1]
+            data_len = end_id - start_id
+            permute = (rng.permutation(data_len) + start_id).tolist()
+
+            valid_size = int(data_len * valid_per_type / 100) \
+                if split_type == 'percent' else valid_per_type
+            test_size = int(data_len * test_per_type / 100) \
+                if split_type == 'percent' else (test_per_type or 0)
+            train_size = data_len - valid_size - test_size
+
+            train_sub = permute[:train_size]
+            valid_sub = permute[train_size:train_size + valid_size]
+            train_ids += train_sub
+            valid_ids += valid_sub
+            test_sub = []
+            if test_size:
+                test_sub = permute[train_size + valid_size:train_size + valid_size + test_size]
+                test_ids += test_sub
+            if with_breakdown:
+                train_bd[nickname] = Subset(self, train_sub)
+                valid_bd[nickname] = Subset(self, valid_sub)
+                test_bd[nickname] = Subset(self, test_sub) if test_size else None
+
+        result = (Subset(self, train_ids), Subset(self, valid_ids),
+                  Subset(self, test_ids) if test_ids else None)
+        if with_breakdown:
+            return result + (train_bd, valid_bd, test_bd)
+        return result
+
+    def split_from_dict(self, split_dict, with_breakdown=False):
+        """Reproduce a frozen split given name lists
+        (reference: nn/data/datasets.py:246-283)."""
+        train_ids, valid_ids, test_ids = [], [], []
+        training = set(split_dict['training'])
+        validation = set(split_dict['validation'])
+        test = set(split_dict.get('test', []))
+        for idx, name in enumerate(self.datapoints_names):
+            if name in training:
+                train_ids.append(idx)
+            elif name in test:
+                test_ids.append(idx)
+            elif name in validation:
+                valid_ids.append(idx)
+        result = (Subset(self, train_ids), Subset(self, valid_ids),
+                  Subset(self, test_ids) if test_ids else None)
+        if with_breakdown:
+            return result + (self.subsets_per_datafolder(train_ids),
+                             self.subsets_per_datafolder(valid_ids),
+                             self.subsets_per_datafolder(test_ids))
+        return result
+
+    # ---- hooks for subclasses ----
+    def save_prediction_batch(self, *args, **kwargs):
+        print(f'{self.__class__.__name__}::Warning::no prediction saving is implemented')
+
+    def standardize(self, training=None):
+        print(f'{self.__class__.__name__}::Warning::no standardization is implemented')
+
+    def _clean_datapoint_list(self, datapoints_names, dataset_folder):
+        return datapoints_names
+
+    def _get_sample_info(self, datapoint_name):
+        return np.zeros(1, dtype=np.float32), np.zeros(1, dtype=np.float32)
+
+    def _estimate_data_shape(self):
+        elem = self[0]
+        feature_size = elem['features'].shape[0]
+        gt = elem['ground_truth']
+        gt_size = gt.shape[0] if hasattr(gt, 'shape') else None
+        self.config['feature_size'] = feature_size
+        self.config['ground_truth_size'] = gt_size
+
+    def _update_on_config_change(self):
+        pass
+
+    # ---- stats helpers ----
+    @staticmethod
+    def _unpad(element, tolerance=1.e-5):
+        """Drop all-zero rows (padding)."""
+        selection = ~np.all(np.isclose(element, 0, atol=tolerance), axis=1)
+        return element[selection]
+
+    def _get_distribution_stats(self, input_batch, padded=False):
+        """(mean, std) over rows of a (..., C) stacked batch."""
+        flat = np.asarray(input_batch, dtype=np.float64).reshape(-1, np.asarray(input_batch).shape[-1])
+        if padded:
+            flat = self._unpad(flat)
+        mean = flat.mean(axis=0)
+        stds = np.sqrt(((flat - mean) ** 2).sum(0) / flat.shape[0])
+        return mean.astype(np.float32), stds.astype(np.float32)
+
+    def _get_norm_stats(self, input_batch, padded=False):
+        """(min, max-min) per dimension with zero-range protection."""
+        flat = np.asarray(input_batch, dtype=np.float64).reshape(-1, np.asarray(input_batch).shape[-1])
+        if padded:
+            flat = self._unpad(flat)
+        min_v, max_v = flat.min(axis=0), flat.max(axis=0)
+        scale = np.empty_like(min_v)
+        for i, (lo, hi) in enumerate(zip(min_v, max_v)):
+            if np.isclose(lo, hi):
+                scale[i] = lo if not np.isclose(lo, 0) else 1.0
+            else:
+                scale[i] = hi - lo
+        return min_v.astype(np.float32), scale.astype(np.float32)
+
+
+class GarmentBaseDataset(BaseDataset):
+    """Garment-specific base: sim-failure filtering, nicknames, parameter
+    filtering, max-size inference (reference: nn/data/datasets.py:341-568)."""
+
+    def __init__(self, root_dir, start_config=None, gt_caching=False,
+                 feature_caching=False, in_transforms=None):
+        start_config = dict(start_config or {'data_folders': []})
+        if ('max_pattern_len' not in start_config
+                or 'max_panel_len' not in start_config
+                or 'max_num_stitches' not in start_config):
+            start_config.update(max_pattern_len=None, max_panel_len=None,
+                                max_num_stitches=None)
+            pattern_size_initialized = False
+        else:
+            pattern_size_initialized = True
+        start_config.setdefault('obj_filetag', 'sim')
+        start_config.setdefault('panel_classification', None)
+        self.panel_classifier = None
+
+        super().__init__(root_dir, start_config, gt_caching=gt_caching,
+                         feature_caching=feature_caching, in_transforms=in_transforms)
+
+        nicknames = list(self.data_folders_nicknames.values())
+        if len(nicknames) > len(set(nicknames)):
+            print(f'{self.__class__.__name__}::Warning::non-unique data folder '
+                  'nicknames; reverting to original folder names')
+            self.data_folders_nicknames = dict(zip(self.data_folders, self.data_folders))
+
+        if self.config['panel_classification'] is not None:
+            self.panel_classifier = PanelClasses(self.config['panel_classification'])
+            self.config.update(max_pattern_len=len(self.panel_classifier))
+
+        if not pattern_size_initialized:
+            num_panels, num_edges, num_stitches = [], [], []
+            for data_folder, start_id in self.dataset_start_ids:
+                if data_folder is None:
+                    break
+                datapoint = self.datapoints_names[start_id]
+                folder_elements = [f.name for f in (self.root_path / datapoint).glob('*')]
+                pattern_flat, _, _, stitches, _ = self._read_pattern(
+                    datapoint, folder_elements, with_stitches=True)
+                num_panels.append(pattern_flat.shape[0])
+                num_edges.append(pattern_flat.shape[1])
+                num_stitches.append(stitches.shape[1])
+            self.config.update(max_pattern_len=max(num_panels),
+                               max_panel_len=max(num_edges),
+                               max_num_stitches=max(num_stitches))
+
+        self._drop_cache()
+
+    def save_to_wandb(self, experiment):
+        super().save_to_wandb(experiment)
+        for dataset_folder in self.data_folders:
+            try:
+                shutil.copy(self.root_path / dataset_folder / 'dataset_properties.json',
+                            Path(experiment.local_artifacts_path())
+                            / (dataset_folder + '_properties.json'))
+            except FileNotFoundError:
+                pass
+        if self.panel_classifier is not None:
+            shutil.copy(self.panel_classifier.filename,
+                        Path(experiment.local_artifacts_path()) / 'panel_classes.json')
+        if self.config.get('filter_by_params'):
+            shutil.copy(self.config['filter_by_params'],
+                        Path(experiment.local_artifacts_path()) / 'param_filter.json')
+
+    # ---- cleaning & filtering ----
+    def _clean_datapoint_list(self, datapoints_names, dataset_folder):
+        try:
+            datapoints_names.remove(dataset_folder + '/renders')
+        except ValueError:
+            pass
+        try:
+            props = Properties(self.root_path / dataset_folder / 'dataset_properties.json')
+        except FileNotFoundError:
+            print(f'{self.__class__.__name__}::Warning::No `dataset_properties.json` '
+                  'found. Using all datapoints without filtering.')
+            self.data_folders_nicknames[dataset_folder] = dataset_folder
+            return datapoints_names
+
+        if not props['to_subfolders']:
+            raise NotImplementedError('Only working with datasets organized in subfolders')
+
+        self.data_folders_nicknames[dataset_folder] = \
+            props['templates'].split('/')[-1].split('.')[0]
+
+        fails_dict = props['sim']['stats']['fails']
+        for subsection in fails_dict:
+            for fail in fails_dict[subsection]:
+                try:
+                    datapoints_names.remove(dataset_folder + '/' + fail)
+                except ValueError:
+                    pass
+
+        if self.config.get('filter_by_params'):
+            datapoints_names = self.filter_by_params(
+                self.config['filter_by_params'], dataset_folder, datapoints_names)
+        return datapoints_names
+
+    def filter_by_params(self, filter_file, dataset_folder, datapoint_names):
+        """Keep only datapoints whose design parameters fall inside the
+        allowed ranges (reference: nn/data/datasets.py:474-499)."""
+        with open(filter_file, 'r') as f:
+            param_filters = json.load(f)
+        final_list = []
+        for datapoint_name in datapoint_names:
+            pattern = NNSewingPattern(self.root_path / datapoint_name / 'specification.json')
+            template_name = self.template_name(datapoint_name)
+            to_add = True
+            for param, bounds in param_filters.get(template_name, {}).items():
+                value = pattern.parameters[param]['value']
+                if value < bounds[0] or value > bounds[1]:
+                    to_add = False
+                    break
+            if to_add:
+                final_list.append(datapoint_name)
+        print(f'{self.__class__.__name__}::Filtering::{dataset_folder}::'
+              f'{len(final_list)} of {len(datapoint_names)}')
+        return final_list
+
+    # ---- datapoint utils ----
+    def template_name(self, datapoint_name):
+        return self.data_folders_nicknames[datapoint_name.split('/')[0]]
+
+    def _read_pattern(self, datapoint_name, folder_elements,
+                      pad_panels_to_len=None, pad_panel_num=None, pad_stitches_num=None,
+                      with_placement=False, with_stitches=False, with_stitch_tags=False):
+        spec_list = [f for f in folder_elements if 'specification.json' in f]
+        if not spec_list:
+            raise RuntimeError(
+                f'GarmentBaseDataset::Error::*specification.json not found for {datapoint_name}')
+        pattern = NNSewingPattern(
+            self.root_path / datapoint_name / spec_list[0],
+            panel_classifier=self.panel_classifier,
+            template_name=self.template_name(datapoint_name))
+        return pattern.pattern_as_tensors(
+            pad_panels_to_len, pad_panels_num=pad_panel_num,
+            pad_stitches_num=pad_stitches_num, with_placement=with_placement,
+            with_stitches=with_stitches, with_stitch_tags=with_stitch_tags)
+
+
+class Garment3DPatternFullDataset(GarmentBaseDataset):
+    """Full pattern GT (outlines + placement + stitches) from 3D point-cloud
+    features (reference: nn/data/datasets.py:571-982)."""
+
+    def __init__(self, root_dir, start_config=None, gt_caching=False,
+                 feature_caching=False, in_transforms=None):
+        start_config = dict(start_config or {'data_folders': []})
+        start_config.setdefault('mesh_samples', 2000)
+        start_config.setdefault('point_noise_w', 0)
+        start_config.setdefault('sampling_seed', 601)
+        self.segm_cached = {}
+        super().__init__(root_dir, start_config, gt_caching=gt_caching,
+                         feature_caching=feature_caching, in_transforms=in_transforms)
+        first_gt = self[0]['ground_truth']
+        self.config.update(
+            element_size=first_gt['outlines'].shape[2],
+            rotation_size=first_gt['rotations'].shape[1],
+            translation_size=first_gt['translations'].shape[1],
+            stitch_tag_size=first_gt['stitch_tags'].shape[-1],
+            explicit_stitch_tags=False,
+        )
+
+    def standardize(self, training=None):
+        """Compute (or reuse) standardization stats and install the
+        transforms (reference: nn/data/datasets.py:596-654)."""
+        print(f'{self.__class__.__name__}::Using data normalization for features & GT')
+        if 'standardize' in self.config:
+            print(f'{self.__class__.__name__}::Using stats from config')
+            stats = self.config['standardize']
+        elif training is not None:
+            samples = [training[i] for i in range(len(training))]
+            features = np.stack([s['features'] for s in samples])
+            gt_field = lambda key: np.stack([s['ground_truth'][key] for s in samples])
+
+            feature_shift, feature_scale = self._get_distribution_stats(features)
+            panel_shift, panel_scale = self._get_distribution_stats(
+                gt_field('outlines'), padded=True)
+            panel_shift[0] = panel_shift[1] = 0  # keep the loop property intact
+            transl_min, transl_scale = self._get_norm_stats(gt_field('translations'))
+            rot_min, rot_scale = self._get_norm_stats(gt_field('rotations'))
+            tags_min, tags_scale = self._get_norm_stats(gt_field('stitch_tags'))
+
+            self.config['standardize'] = {
+                'f_shift': feature_shift.tolist(), 'f_scale': feature_scale.tolist(),
+                'gt_shift': {
+                    'outlines': panel_shift.tolist(), 'rotations': rot_min.tolist(),
+                    'translations': transl_min.tolist(), 'stitch_tags': tags_min.tolist(),
+                },
+                'gt_scale': {
+                    'outlines': panel_scale.tolist(), 'rotations': rot_scale.tolist(),
+                    'translations': transl_scale.tolist(), 'stitch_tags': tags_scale.tolist(),
+                },
+            }
+            stats = self.config['standardize']
+        else:
+            raise ValueError(
+                f'{self.__class__.__name__}::Error::standardization requires either '
+                'stats in config or a training subset')
+
+        self.transforms = [t for t in self.transforms
+                           if not isinstance(t, (transforms.GTtandartization,
+                                                 transforms.FeatureStandartization))]
+        self.transforms.append(transforms.GTtandartization(stats['gt_shift'], stats['gt_scale']))
+        self.transforms.append(transforms.FeatureStandartization(stats['f_shift'], stats['f_scale']))
+
+    # ---- prediction saving ----
+    def save_prediction_batch(self, predictions, datanames, data_folders, save_to,
+                              features=None, weights=None, orig_folder_names=False,
+                              **kwargs):
+        """Save per-datapoint predicted patterns (json + png + GT copies)
+        (reference: nn/data/datasets.py:657-729)."""
+        save_to = Path(save_to)
+        prediction_imgs = []
+        for idx, (name, folder) in enumerate(zip(datanames, data_folders)):
+            prediction = {key: np.asarray(predictions[key][idx]) for key in predictions}
+
+            # complement the prediction with GT fields when available
+            if self.gt_caching and (folder + '/' + name) in self.gt_cached:
+                gt = self.gt_cached[folder + '/' + name]
+                for key in gt:
+                    if key not in prediction:
+                        prediction[key] = np.asarray(gt[key])
+            elif not self.gt_caching:
+                print(f'{self.__class__.__name__}::Warning::propagating GT info on '
+                      'prediction is not possible without gt caching')
+
+            pattern = self._pred_to_pattern(prediction, name)
+
+            if self.gt_caching and (folder + '/' + name) in self.gt_cached:
+                gt = self.gt_cached[folder + '/' + name]
+                pattern.spec['properties']['correct_num_panels'] = int(gt['num_panels'])
+
+            folder_nick = self.data_folders_nicknames[folder] if not orig_folder_names else folder
+            try:
+                final_dir = pattern.serialize(save_to / folder_nick, to_subfolder=True,
+                                              tag='_predicted_')
+            except (RuntimeError, InvalidPatternDefError, TypeError) as e:
+                print(f'{self.__class__.__name__}::Error::{name} serializing skipped: {e}')
+                continue
+            prediction_imgs.append(Path(final_dir) / f'{pattern.name}_predicted__pattern.png')
+
+            for file in (self.root_path / folder / name).glob('*'):
+                if file.suffix in ('.png', '.json'):
+                    shutil.copy2(str(file), str(final_dir))
+
+            if features is not None:
+                stats = self.config['standardize']
+                point_cloud = np.asarray(features[idx]) * np.asarray(stats['f_scale']) \
+                    + np.asarray(stats['f_shift'])
+                np.savetxt(save_to / folder_nick / name / (name + '_point_cloud.txt'),
+                           point_cloud)
+            if 'att_weights' in prediction:
+                np.savetxt(save_to / folder_nick / name / (name + '_att_weights.txt'),
+                           np.asarray(prediction['att_weights']))
+        return prediction_imgs
+
+    def _pred_to_pattern(self, prediction, dataname):
+        """Standardized prediction dict -> NNSewingPattern
+        (reference: nn/data/datasets.py:731-767)."""
+        gt_shifts = self.config['standardize']['gt_shift']
+        gt_scales = self.config['standardize']['gt_scale']
+        prediction = dict(prediction)
+        for key in gt_shifts:
+            if key == 'stitch_tags' and not self.config.get('explicit_stitch_tags', False):
+                continue
+            prediction[key] = np.asarray(prediction[key]) * np.asarray(gt_scales[key]) \
+                + np.asarray(gt_shifts[key])
+
+        if 'stitches' in prediction:
+            stitches = np.asarray(prediction['stitches'])
+        else:
+            stitches = tags_to_stitches_np(prediction['stitch_tags'],
+                                           prediction['free_edges_mask'])
+
+        pattern = NNSewingPattern(view_ids=False, panel_classifier=self.panel_classifier)
+        pattern.name = dataname
+        try:
+            pattern.pattern_from_tensors(
+                prediction['outlines'], panel_rotations=prediction['rotations'],
+                panel_translations=prediction['translations'], stitches=stitches,
+                padded=True)
+        except (RuntimeError, InvalidPatternDefError) as e:
+            print(f'{self.__class__.__name__}::Warning::{dataname}: {e}')
+        return pattern
+
+    # ---- sample assembly ----
+    def _get_sample_info(self, datapoint_name):
+        folder_elements = [f.name for f in (self.root_path / datapoint_name).glob('*')]
+
+        if datapoint_name in self.feature_cached:
+            points = self.feature_cached[datapoint_name]
+            segm = self.segm_cached[datapoint_name]
+        else:
+            points, verts = self._sample_points(datapoint_name, folder_elements)
+            segm = self._point_classes_from_mesh(points, verts, datapoint_name,
+                                                 folder_elements)
+            if self.feature_caching:
+                self.feature_cached[datapoint_name] = points
+                self.segm_cached[datapoint_name] = segm
+
+        if datapoint_name in self.gt_cached:
+            ground_truth = self.gt_cached[datapoint_name]
+        else:
+            ground_truth = self._get_pattern_ground_truth(datapoint_name, folder_elements)
+            ground_truth['segmentation'] = segm
+            if self.gt_caching:
+                self.gt_cached[datapoint_name] = ground_truth
+        return points, ground_truth
+
+    def _get_pattern_ground_truth(self, datapoint_name, folder_elements):
+        pattern, num_edges, num_panels, rots, transls, stitches, num_stitches, stitch_tags = \
+            self._read_pattern(
+                datapoint_name, folder_elements,
+                pad_panels_to_len=self.config['max_panel_len'],
+                pad_panel_num=self.config['max_pattern_len'],
+                pad_stitches_num=self.config['max_num_stitches'],
+                with_placement=True, with_stitches=True, with_stitch_tags=True)
+        free_edges_mask = self.free_edges_mask(pattern, stitches, num_stitches)
+        empty_panels_mask = num_edges == 0
+        return {
+            'outlines': pattern, 'num_edges': num_edges,
+            'rotations': rots, 'translations': transls,
+            'num_panels': num_panels, 'empty_panels_mask': empty_panels_mask,
+            'num_stitches': num_stitches, 'stitches': stitches,
+            'free_edges_mask': free_edges_mask, 'stitch_tags': stitch_tags,
+        }
+
+    def _sample_points(self, datapoint_name, folder_elements):
+        """Sample the point cloud (deterministic per datapoint + config seed)."""
+        obj_list = [f for f in folder_elements
+                    if self.config['obj_filetag'] in f and '.obj' in f]
+        if not obj_list:
+            raise RuntimeError(
+                f'Dataset::Error::geometry file *{self.config["obj_filetag"]}*.obj '
+                f'not found for {datapoint_name}')
+        verts, faces = mesh_ops.read_triangle_mesh(
+            str(self.root_path / datapoint_name / obj_list[0]))
+        seed = (hash(datapoint_name) ^ self.config['sampling_seed']) & (2 ** 63 - 1)
+        points = mesh_ops.sample_mesh_points(
+            self.config['mesh_samples'], verts, faces, seed=seed)
+        if self.config['point_noise_w']:
+            noise_rng = np.random.default_rng(seed ^ 0x9E3779B9)
+            points = points + noise_rng.normal(
+                0.0, self.config['point_noise_w'], size=points.shape)
+        return points, verts
+
+    @staticmethod
+    def sample_mesh_points(num_points, verts, faces, seed=None):
+        """Standalone sampling routine (reference API: datasets.py:845-861)."""
+        return mesh_ops.sample_mesh_points(num_points, verts, faces, seed=seed)
+
+    def _point_classes_from_mesh(self, points, verts, datapoint_name, folder_elements):
+        """Transfer per-vertex segmentation labels to sampled points via
+        nearest-vertex snap; 'stitch'/'None' labels are reassigned to the
+        closest panel-labeled point (reference: datasets.py:863-905)."""
+        seg_list = [f for f in folder_elements
+                    if self.config['obj_filetag'] in f and 'segmentation.txt' in f]
+        if not seg_list:
+            return np.zeros(len(points), dtype=np.int64)
+        with open(self.root_path / datapoint_name / seg_list[0], 'r') as f:
+            vert_labels = np.array([line.rstrip() for line in f])
+
+        map_list, _ = mesh_ops.snap_points(points, verts)
+        if len(verts) > len(vert_labels):
+            print(f'{self.__class__.__name__}::{datapoint_name}::WARNING::not enough '
+                  f'segmentation labels — {len(vert_labels)} for {len(verts)} vertices. '
+                  'Setting segmentation to zero')
+            return np.zeros(len(map_list), dtype=np.int64)
+
+        point_labels = vert_labels[map_list]
+        stitch_ids = (point_labels == 'stitch') | (point_labels == 'None')
+        non_stitch_ids = ~stitch_ids
+        if stitch_ids.any() and non_stitch_ids.any():
+            map_stitches, _ = mesh_ops.snap_points(
+                points[stitch_ids], points[non_stitch_ids])
+            non_stitch_pos = np.flatnonzero(non_stitch_ids)
+            point_labels[stitch_ids] = point_labels[non_stitch_pos[map_stitches]]
+
+        if self.panel_classifier is not None:
+            segmentation = self.panel_classifier.map(
+                self.template_name(datapoint_name), point_labels)
+        else:
+            unique = {name: i for i, name in enumerate(np.unique(point_labels))}
+            segmentation = np.array([unique[name] for name in point_labels])
+        return segmentation.astype(np.int64)
+
+    # ---- stitch tools ----
+    tags_to_stitches = staticmethod(tags_to_stitches_np)
+
+    @staticmethod
+    def free_edges_mask(pattern, stitches, num_stitches):
+        """True for edges not participating in any stitch
+        (reference: datasets.py:970-982)."""
+        mask = np.ones((pattern.shape[0], pattern.shape[1]), dtype=bool)
+        max_edge = pattern.shape[1]
+        for side in stitches[:, :num_stitches]:
+            for edge_id in side:
+                mask[edge_id // max_edge][edge_id % max_edge] = False
+        return mask
+
+
+class GarmentStitchPairsDataset(GarmentBaseDataset):
+    """Edge-pair features + stitched/not labels for the stitch classifier;
+    prefers `*predicted*specification.json` files, drops stitch-less patterns
+    (reference: nn/data/datasets.py:985-1159)."""
+
+    def __init__(self, root_dir, start_config=None, gt_caching=False,
+                 feature_caching=False, in_transforms=None,
+                 filter_correct_n_panels=False):
+        if gt_caching or feature_caching:
+            gt_caching = feature_caching = True
+        self.filter_correct_n_panels = filter_correct_n_panels
+        init_config = {
+            'data_folders': [],
+            'random_pairs_mode': True,
+            'stitched_edge_pairs_num': 200,
+            'non_stitched_edge_pairs_num': 200,
+            'shuffle_pairs': True,
+            'shuffle_pairs_order': True,
+            'pairs_seed': None,
+        }
+        init_config.update(start_config or {})
+        super().__init__(root_dir, init_config, gt_caching=gt_caching,
+                         feature_caching=feature_caching, in_transforms=in_transforms)
+        self.config.update(element_size=self[0]['features'].shape[-1])
+
+    def standardize(self, training=None):
+        print(f'{self.__class__.__name__}::Using data normalization for features')
+        if 'standardize' in self.config:
+            stats = self.config['standardize']
+        elif training is not None:
+            features = np.concatenate(
+                [np.asarray(training[i]['features']).reshape(-1, 16)
+                 for i in range(len(training))])
+            shift, scale = self._get_norm_stats(features)
+            self.config['standardize'] = {'f_shift': shift.tolist(),
+                                          'f_scale': scale.tolist()}
+            stats = self.config['standardize']
+        else:
+            raise ValueError(
+                f'{self.__class__.__name__}::Error::standardization requires either '
+                'stats in config or a training subset')
+        self.transforms = [t for t in self.transforms
+                           if not isinstance(t, (transforms.GTtandartization,
+                                                 transforms.FeatureStandartization))]
+        self.transforms.append(
+            transforms.FeatureStandartization(stats['f_shift'], stats['f_scale']))
+
+    def save_prediction_batch(self, predictions, datanames, data_folders, save_to,
+                              model=None, orig_folder_names=False, **kwargs):
+        """Re-classify stitches of the stored (predicted) patterns with the
+        given pair-classifier callable and save them
+        (reference: datasets.py:1051-1094). `model`: (M, 16) -> (M,) logits."""
+        save_to = Path(save_to)
+        prediction_imgs = []
+        for name, folder in zip(datanames, data_folders):
+            folder_elements = [f.name for f in (self.root_path / folder / name).glob('*')]
+            spec_list = [f for f in folder_elements if 'specification.json' in f]
+            if not spec_list:
+                print(f'{self.__class__.__name__}::Error::{name} serializing skipped: '
+                      '*specification.json not found')
+                continue
+            predicted_list = [f for f in spec_list if 'predicte' in f]
+            spec = predicted_list[0] if predicted_list else spec_list[0]
+            pattern = NNSewingPattern(self.root_path / folder / name / spec)
+            pattern.stitches_from_pair_classifier(model, self.config['standardize'])
+
+            folder_nick = self.data_folders_nicknames[folder] if not orig_folder_names else folder
+            try:
+                final_dir = pattern.serialize(save_to / folder_nick, to_subfolder=True,
+                                              tag='_predicted_')
+            except (RuntimeError, InvalidPatternDefError, TypeError) as e:
+                print(f'{self.__class__.__name__}::Error::{name} serializing skipped: {e}')
+                continue
+            prediction_imgs.append(Path(final_dir) / f'{pattern.name}_predicted__pattern.png')
+            for file in (self.root_path / folder / name).glob('*'):
+                if file.suffix in ('.png', '.json'):
+                    shutil.copy2(str(file), str(final_dir))
+        return prediction_imgs
+
+    def _get_sample_info(self, datapoint_name):
+        if datapoint_name in self.gt_cached:
+            return self.feature_cached[datapoint_name], self.gt_cached[datapoint_name]
+
+        folder_elements = [f.name for f in (self.root_path / datapoint_name).glob('*')]
+        spec_list = [f for f in folder_elements if 'specification.json' in f]
+        if not spec_list:
+            raise RuntimeError(
+                f'{self.__class__.__name__}::Error::*specification.json not found '
+                f'for {datapoint_name}')
+        predicted_list = [f for f in spec_list if 'predicte' in f]
+        spec = predicted_list[0] if predicted_list else spec_list[0]
+        pattern = NNSewingPattern(self.root_path / datapoint_name / spec)
+
+        if self.config['random_pairs_mode']:
+            seed = self.config.get('pairs_seed')
+            rng = np.random.default_rng(
+                None if seed is None else (hash(datapoint_name) ^ seed) & (2 ** 63 - 1))
+            features, ground_truth = pattern.stitches_as_3D_pairs(
+                self.config['stitched_edge_pairs_num'],
+                self.config['non_stitched_edge_pairs_num'],
+                self.config['shuffle_pairs'], self.config['shuffle_pairs_order'],
+                rng=rng)
+        else:
+            features, _, ground_truth = pattern.all_edge_pairs()
+            ground_truth = np.asarray(ground_truth, dtype=bool)
+
+        if self.gt_caching and self.feature_caching:
+            self.gt_cached[datapoint_name] = ground_truth
+            self.feature_cached[datapoint_name] = features
+        return features, ground_truth
+
+    def _clean_datapoint_list(self, datapoints_names, dataset_folder):
+        datapoints_names = super()._clean_datapoint_list(datapoints_names, dataset_folder)
+        final_list = []
+        for datapoint_name in datapoints_names:
+            folder_elements = [f.name for f in (self.root_path / datapoint_name).glob('*')]
+            spec_list = [f for f in folder_elements if 'specification.json' in f]
+            if not spec_list:
+                raise RuntimeError(
+                    f'{self.__class__.__name__}::Error::*specification.json not found '
+                    f'for {datapoint_name}')
+            predicted_list = [f for f in spec_list if 'predicte' in f]
+            spec = predicted_list[0] if predicted_list else spec_list[0]
+            pattern = NNSewingPattern(self.root_path / datapoint_name / spec)
+            if not len(pattern.pattern['stitches']):
+                print(f'{self.__class__.__name__}::ERROR::{datapoint_name}::has no stitches')
+                continue
+            if self.filter_correct_n_panels:
+                correct = pattern.spec['properties'].get('correct_num_panels')
+                if correct != len(pattern.pattern['panels']):
+                    continue
+            final_list.append(datapoint_name)
+        return final_list
+
+
+DATASET_REGISTRY = {
+    'Garment3DPatternFullDataset': Garment3DPatternFullDataset,
+    'GarmentStitchPairsDataset': GarmentStitchPairsDataset,
+}

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import knn as knn_ops
+from ..ops.knn import knn as knn_search, pairwise_sq_dists
 from ..ops.pooling import GLOBAL_POOLS, gather_neighbors
 
 
@@ -68,7 +68,7 @@ class EdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, N, C = x.shape
-        idx = knn_ops.knn(jax.lax.stop_gradient(x), self.k, use_pallas=self.use_pallas)
+        idx = knn_search(jax.lax.stop_gradient(x), self.k, use_pallas=self.use_pallas)
         neighbors = gather_neighbors(x, idx)                     # (B, N, k, C)
         center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
         edge_features = jnp.concatenate([center, neighbors - center], axis=-1)
@@ -183,7 +183,7 @@ class SetAbstraction(nn.Module):
         centroid_idx = farthest_point_sampling(positions, M)               # (B, M)
         centroids = jnp.take_along_axis(positions, centroid_idx[..., None], axis=1)
 
-        d = knn_ops.pairwise_sq_dists(centroids, positions)                # (B, M, N)
+        d = pairwise_sq_dists(centroids, positions)                # (B, M, N)
         within = d <= self.radius ** 2
         # cap the neighborhood: nearest `max_neighbors` inside the radius
         capped = jnp.where(within, d, jnp.inf)
