@@ -1,0 +1,203 @@
+"""DatasetWrapper: split management + named loaders + batch prediction.
+
+Counterpart of nn/data/wrapper.py: keeps the dataset and its
+train/validation/test subsets, builds the 9 named loaders (full/train/
+validation/test, the per-data-folder breakdowns, and a one-sample-per-type
+loader for visual logging), reproduces frozen splits, and drives batched
+prediction saving.
+"""
+from __future__ import annotations
+
+import json
+from argparse import Namespace
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+from .loader import DataLoader, Subset
+from .sampler import BalancedBatchSampler
+
+
+class DatasetWrapper:
+    """Dataset + splits + loaders + prediction routines."""
+
+    def __init__(self, in_dataset, known_split=None, batch_size=None, shuffle_train=True):
+        self.dataset = in_dataset
+        self.data_section_list = ['full', 'train', 'validation', 'test']
+
+        self.training = in_dataset
+        self.validation = None
+        self.test = None
+        self.full_per_datafolder = None
+        self.training_per_datafolder = {}
+        self.validation_per_datafolder = {}
+        self.test_per_datafolder = {}
+
+        self.batch_size = None
+        self.loaders = Namespace(
+            full=None, full_per_data_folder=None,
+            train=None,
+            test=None, test_per_data_folder=None,
+            validation=None, valid_per_data_folder=None,
+            valid_single_per_data=None,
+        )
+        self.split_info = {'random_seed': None, 'valid_per_type': None,
+                           'test_per_type': None}
+
+        if known_split is not None:
+            self.load_split(known_split)
+        if batch_size is not None:
+            self.batch_size = batch_size
+            self.new_loaders(batch_size, shuffle_train)
+
+    def get_loader(self, data_section='full'):
+        try:
+            return getattr(self.loaders, data_section)
+        except AttributeError:
+            raise ValueError(
+                f'DataWrapper::requested loader on unknown data section {data_section}')
+
+    def new_loaders(self, batch_size=None, shuffle_train=True):
+        """(Re)build loaders for the current split."""
+        if batch_size is not None:
+            self.batch_size = batch_size
+        if self.batch_size is None:
+            raise RuntimeError('DataWrapper::Error::cannot create loaders: batch_size not set')
+
+        seed = self.split_info.get('random_seed')
+        self.loaders.full = DataLoader(self.dataset, self.batch_size)
+        if self.full_per_datafolder is None:
+            self.full_per_datafolder = self.dataset.subsets_per_datafolder()
+        self.loaders.full_per_data_folder = self._loaders_dict(
+            self.full_per_datafolder, self.batch_size)
+
+        if self.validation is not None and self.test is not None:
+            try:
+                self.dataset.config['balanced_batch_sampling'] = True
+                _, train_per_type = self.dataset.indices_by_data_folder(
+                    self.training.indices)
+                sampler = BalancedBatchSampler(train_per_type,
+                                               batch_size=self.batch_size, seed=seed)
+                self.loaders.train = DataLoader(self.training, batch_sampler=sampler)
+            except (AttributeError, NotImplementedError):
+                print(f'{self.__class__.__name__}::Warning::failed to create balanced '
+                      'batches for training. Using default sampling')
+                self.dataset.config['balanced_batch_sampling'] = False
+                self.loaders.train = DataLoader(
+                    self.training, self.batch_size, shuffle=shuffle_train, seed=seed)
+
+            self.loaders.validation = DataLoader(self.validation, self.batch_size)
+            self.loaders.valid_per_data_folder = self._loaders_dict(
+                self.validation_per_datafolder, self.batch_size)
+
+            single_ids = [folder_subset.indices[0]
+                          for folder_subset in self.validation_per_datafolder.values()
+                          if folder_subset is not None and len(folder_subset)]
+            self.loaders.valid_single_per_data = DataLoader(
+                Subset(self.dataset, single_ids), batch_size=self.batch_size)
+
+            self.loaders.test = DataLoader(self.test, self.batch_size)
+            self.loaders.test_per_data_folder = self._loaders_dict(
+                self.test_per_datafolder, self.batch_size)
+
+        return self.loaders.train, self.loaders.validation, self.loaders.test
+
+    @staticmethod
+    def _loaders_dict(subsets_dict, batch_size, shuffle=False):
+        return {name: DataLoader(subset, batch_size, shuffle=shuffle)
+                for name, subset in subsets_dict.items() if subset is not None}
+
+    # ---- split reproduction ----
+    def new_split(self, valid, test=None, random_seed=None):
+        import time
+        self.split_info['random_seed'] = random_seed if random_seed else int(time.time())
+        self.split_info.update(valid_per_type=valid, test_per_type=test, type='count')
+        return self.load_split()
+
+    def load_split(self, split_info=None, batch_size=None):
+        """Reproduce (or create) the split; reseeds the split RNG so the same
+        `random_seed` always yields the same subsets."""
+        import time
+        if split_info:
+            self.split_info = dict(split_info)
+        if not self.split_info.get('random_seed'):
+            self.split_info['random_seed'] = int(time.time())
+        rng = np.random.default_rng(self.split_info['random_seed'])
+
+        if self.split_info.get('filename'):
+            print(f'DataWrapper::Loading data split from {self.split_info["filename"]}')
+            with open(self.split_info['filename'], 'r') as f:
+                split_dict = json.load(f)
+            (self.training, self.validation, self.test,
+             self.training_per_datafolder, self.validation_per_datafolder,
+             self.test_per_datafolder) = self.dataset.split_from_dict(
+                split_dict, with_breakdown=True)
+        else:
+            required = ['test_per_type', 'valid_per_type', 'type']
+            if any(key not in self.split_info for key in required):
+                raise ValueError(
+                    f'Specified split information is not full: {self.split_info}. '
+                    f'It needs to contain: {required}')
+            (self.training, self.validation, self.test,
+             self.training_per_datafolder, self.validation_per_datafolder,
+             self.test_per_datafolder) = self.dataset.random_split_by_dataset(
+                self.split_info['valid_per_type'], self.split_info['test_per_type'],
+                self.split_info['type'], with_breakdown=True, rng=rng)
+
+        if batch_size is not None:
+            self.batch_size = batch_size
+        if self.batch_size is not None:
+            self.new_loaders()
+
+        print('DatasetWrapper::Dataset split: {} / {} / {}'.format(
+            len(self.training) if self.training else None,
+            len(self.validation) if self.validation else None,
+            len(self.test) if self.test else None))
+        self.split_info['size_train'] = len(self.training) if self.training else 0
+        self.split_info['size_valid'] = len(self.validation) if self.validation else 0
+        self.split_info['size_test'] = len(self.test) if self.test else 0
+        return self.training, self.validation, self.test
+
+    def save_to_wandb(self, experiment):
+        """Record split info + serialized split into the experiment tracker."""
+        experiment.add_config('data_split', self.split_info)
+        split_datanames = {
+            'training': [self.dataset.datapoints_names[i] for i in self.training.indices],
+            'validation': [self.dataset.datapoints_names[i] for i in self.validation.indices],
+            'test': [self.dataset.datapoints_names[i] for i in self.test.indices]
+            if self.test else [],
+        }
+        with open(Path(experiment.local_artifacts_path()) / 'data_split.json', 'w') as f:
+            json.dump(split_datanames, f, indent=2, sort_keys=True)
+        self.dataset.save_to_wandb(experiment)
+
+    # ---- standardization ----
+    def standardize_data(self):
+        self.dataset.standardize(self.training)
+
+    # ---- prediction ----
+    def predict(self, predict_fn, save_to, dir_tag='pred', sections=('test',),
+                single_batch=False, orig_folder_names=False, model=None):
+        """Run `predict_fn(features_batch) -> prediction dict/array` over the
+        requested sections and save via the dataset's hooks
+        (reference: nn/data/wrapper.py:504-537)."""
+        prediction_path = Path(save_to) / (
+            f'nn_{dir_tag}_' + datetime.now().strftime('%y%m%d-%H-%M-%S'))
+        prediction_path.mkdir(parents=True, exist_ok=True)
+
+        for section in sections:
+            section_dir = prediction_path / section
+            section_dir.mkdir(parents=True, exist_ok=True)
+            loader = self.get_loader(section)
+            if not loader:
+                continue
+            for batch in loader:
+                preds = predict_fn(batch['features'])
+                self.dataset.save_prediction_batch(
+                    preds, batch['name'], batch['data_folder'], section_dir,
+                    features=batch['features'], model=model,
+                    orig_folder_names=orig_folder_names)
+                if single_batch:
+                    break
+        return prediction_path
