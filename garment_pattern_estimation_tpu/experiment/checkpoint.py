@@ -1,0 +1,42 @@
+"""Checkpoint serialization: msgpack pytrees (flax.serialization).
+
+Checkpoints store a plain dict, e.g.::
+
+    {'epoch': int, 'variables': {'params': ..., 'batch_stats': ...},
+     'opt_state': ..., 'schedule_step': int}
+
+`template` enables structure-aware restore (exact dtypes/shapes); without it
+the raw nested-dict form is returned.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, 'shape') else x, tree)
+
+
+def save_checkpoint_file(state, path):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    data = serialization.msgpack_serialize(_to_numpy_tree(state))
+    tmp = path.with_suffix('.tmp')
+    tmp.write_bytes(data)
+    tmp.replace(path)  # atomic on POSIX: no torn checkpoints on crashes
+    return path
+
+
+def load_checkpoint_file(path, template=None):
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(path)
+    restored = serialization.msgpack_restore(path.read_bytes())
+    if template is not None:
+        restored = serialization.from_state_dict(template, restored)
+    return restored
