@@ -25,7 +25,10 @@ def _to_numpy_tree(tree):
 def save_checkpoint_file(state, path):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    data = serialization.msgpack_serialize(_to_numpy_tree(state))
+    # to_state_dict turns non-dict pytree nodes (optax namedtuples, tuples)
+    # into msgpack-serializable nested dicts
+    data = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_numpy_tree(state)))
     tmp = path.with_suffix('.tmp')
     tmp.write_bytes(data)
     tmp.replace(path)  # atomic on POSIX: no torn checkpoints on crashes

@@ -1,0 +1,75 @@
+"""Model evaluation shortcuts (counterpart of nn/metrics/eval_utils.py)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import InvalidPatternDefError
+
+
+def make_predict_fn(model, variables, rng_seed=0):
+    """features (numpy/jnp batch) -> prediction dict (numpy), jitted."""
+    apply_jit = jax.jit(lambda feats, rng: model.module.apply(
+        variables, feats, train=False, rngs={'recurrent_init': rng}))
+    counter = [0]
+
+    def predict(features):
+        counter[0] += 1
+        rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), counter[0])
+        preds = apply_jit(jnp.asarray(np.asarray(features, dtype=np.float32)), rng)
+        if isinstance(preds, dict):
+            return {k: np.asarray(v) for k, v in preds.items()}
+        return np.asarray(preds)
+
+    return predict
+
+
+def eval_metrics(model, variables, data_wrapper, section='test', rng_seed=0):
+    """Mean of every loss/quality scalar over a data section (or a dict of
+    per-folder sections). None-valued (nan) metrics are skipped per batch
+    like the reference (nn/metrics/eval_utils.py:12-76)."""
+    loss = model.loss
+    if hasattr(loss, 'with_quality_eval'):
+        loss.with_quality_eval = True
+
+    loader = data_wrapper.get_loader(section)
+    if isinstance(loader, dict):
+        return {folder: _eval_metrics_per_loader(model, variables, sub_loader, rng_seed)
+                for folder, sub_loader in loader.items()}
+    return _eval_metrics_per_loader(model, variables, loader, rng_seed)
+
+
+def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
+    current_metrics = {'full_loss': []}
+    apply_jit = jax.jit(lambda feats, rng: model.module.apply(
+        variables, feats, train=False, rngs={'recurrent_init': rng}))
+
+    loader_iter = iter(loader)
+    batch_idx = 0
+    while True:
+        try:
+            batch = next(loader_iter)
+        except StopIteration:
+            break
+        except InvalidPatternDefError as e:
+            print(e)
+            continue
+        batch_idx += 1
+        rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), batch_idx)
+        preds = apply_jit(jnp.asarray(batch['features']), rng)
+        gt = batch['ground_truth']
+        if not isinstance(gt, dict) and (gt is None or np.asarray(gt).size == 0):
+            gt = batch['features']  # reconstruction fallback
+        gt = jax.tree_util.tree_map(jnp.asarray, gt)
+
+        full_loss, loss_dict, _ = model.loss(preds, gt, names=batch.get('name'))
+        current_metrics['full_loss'].append(float(full_loss))
+        for key, value in loss_dict.items():
+            scalar = float(np.asarray(value)) if np.asarray(value).ndim == 0 else None
+            if scalar is None or np.isnan(scalar):
+                continue  # reference skips None-valued metrics
+            current_metrics.setdefault(key, []).append(scalar)
+
+    return {metric: (sum(vals) / len(vals) if vals else None)
+            for metric, vals in current_metrics.items()}

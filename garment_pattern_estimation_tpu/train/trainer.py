@@ -1,0 +1,366 @@
+"""Training runtime: jitted data-parallel train step + epoch driver.
+
+Counterpart of nn/trainer.py, TPU-first:
+  * one jitted train step per *loss phase* — the composed loss's structure
+    changes at `epoch_with_stitches` / `epoch_with_order_matching`, which are
+    static recompile boundaries (2 recompiles per run) instead of dynamic
+    control flow;
+  * batches are host numpy until the step boundary, then placed with the
+    batch axis sharded over the data mesh (params replicated, gradient psum
+    inserted by XLA — the reference's DataParallel equivalent, §2.7 of
+    SURVEY.md);
+  * optax Adam/SGD + OneCycle schedule stepped per batch, early stopping on
+    NaN loss / flat validation window / vanished LR, per-epoch checkpoints
+    with a 'best' alias (forced on loss-structure change), resume from the
+    latest checkpoint of a stored run.
+"""
+from __future__ import annotations
+
+import time
+import traceback
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data import DatasetWrapper
+from ..parallel import make_mesh, shard_batch, replicate, DATA_AXIS
+
+
+class Trainer:
+    def __init__(self, setup, experiment_tracker, dataset=None, data_split=None,
+                 with_norm=True, with_visualization=False, mesh=None):
+        self.experiment = experiment_tracker
+        self.datawrapper = None
+        self.standardize_data = with_norm
+        self.log_with_visualization = with_visualization
+        self.setup = dict(setup)
+        self.mesh = mesh
+        self._step_cache = {}
+
+        if dataset is not None:
+            self.use_dataset(dataset, data_split or {})
+
+    # ------------- setup -------------
+    def init_randomizer(self, random_seed=None):
+        """Fix the global training seed and record it in the config."""
+        if random_seed:
+            self.setup['random_seed'] = random_seed
+        elif not self.setup.get('random_seed'):
+            self.setup['random_seed'] = int(time.time())
+        self._root_key = jax.random.PRNGKey(self.setup['random_seed'])
+
+    def use_dataset(self, dataset, split_info):
+        self.datawrapper = DatasetWrapper(dataset)
+        self.datawrapper.load_split(split_info)
+        self.datawrapper.new_loaders(self.setup['batch_size'], shuffle_train=True)
+        if self.standardize_data:
+            self.datawrapper.standardize_data()
+            # standardization may add transforms -> stats now in config
+        return self.datawrapper
+
+    # ------------- optimizer -------------
+    def _make_optimizer(self, steps_per_epoch):
+        lr = self.setup['learning_rate']
+        if 'lr_scheduling' in self.setup and self.setup['lr_scheduling'] is not None:
+            # torch OneCycleLR defaults: pct_start=0.3, cos anneal,
+            # div_factor=25, final_div_factor=1e4
+            self.schedule = optax.cosine_onecycle_schedule(
+                transition_steps=self.setup['epochs'] * steps_per_epoch,
+                peak_value=lr, pct_start=0.3, div_factor=25.0,
+                final_div_factor=1e4)
+        else:
+            self.schedule = optax.constant_schedule(lr)
+            print('Trainer::Warning::no learning-rate scheduling set')
+
+        weight_decay = self.setup.get('weight_decay', 0) or 0
+        if self.setup.get('optimizer', 'SGD') == 'Adam':
+            print('Trainer::Using Adam optimizer')
+            opt = optax.adam(self.schedule)
+        else:
+            print('Trainer::Using default SGD optimizer')
+            opt = optax.sgd(self.schedule)
+        if weight_decay:
+            # torch semantics: wd * param added to the gradient
+            opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
+        return opt
+
+    # ------------- loss-phase bookkeeping -------------
+    def _phase_of(self, loss_config, epoch):
+        ews = loss_config.get('epoch_with_stitches', 40)
+        ewo = loss_config.get('epoch_with_order_matching', 0)
+        stitch_phase = epoch >= ews
+        order_random = (epoch < ewo) and loss_config.get('panel_order_inariant_loss', False)
+        return stitch_phase, order_random
+
+    @staticmethod
+    def _canonical_epoch(loss_config, stitch_phase, order_random):
+        """A representative epoch reproducing the phase's static decisions —
+        keeps the jit cache keyed on the phase, not the raw epoch."""
+        ews = loss_config.get('epoch_with_stitches', 40)
+        ewo = loss_config.get('epoch_with_order_matching', 0)
+        for epoch in range(0, max(ews, ewo) + 2):
+            if (epoch >= ews) == stitch_phase and (epoch < ewo) == order_random:
+                return epoch
+        raise ValueError(f'Trainer::unsatisfiable loss phase: stitch={stitch_phase} '
+                         f'order_random={order_random} (ews={ews}, ewo={ewo})')
+
+    # ------------- jitted steps -------------
+    def _train_step_fn(self, model, tx, phase):
+        if ('train', phase) in self._step_cache:
+            return self._step_cache[('train', phase)]
+        stitch_phase, order_random = phase
+        epoch_c = self._canonical_epoch(model.loss.config, stitch_phase, order_random)
+
+        def step(params, batch_stats, opt_state, batch, rng):
+            rng_states, rng_drop, rng_loss = jax.random.split(rng, 3)
+
+            def loss_fn(p):
+                preds, mutated = model.module.apply(
+                    {'params': p, 'batch_stats': batch_stats},
+                    batch['features'], train=True, mutable=['batch_stats'],
+                    rngs={'recurrent_init': rng_states, 'dropout': rng_drop})
+                loss, loss_dict, _ = model.loss(
+                    preds, batch['ground_truth'], epoch=epoch_c, rng=rng_loss)
+                return loss, (loss_dict, mutated['batch_stats'])
+
+            (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, loss, loss_dict
+
+        jitted = jax.jit(step, donate_argnums=(0, 1, 2))
+        self._step_cache[('train', phase)] = jitted
+        return jitted
+
+    def _eval_step_fn(self, model, phase):
+        if ('eval', phase) in self._step_cache:
+            return self._step_cache[('eval', phase)]
+        stitch_phase, order_random = phase
+        epoch_c = self._canonical_epoch(model.loss.config, stitch_phase, order_random)
+
+        def step(params, batch_stats, batch, rng):
+            preds = model.module.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['features'], train=False,
+                rngs={'recurrent_init': rng})
+            loss, loss_dict, _ = model.loss(
+                preds, batch['ground_truth'], epoch=epoch_c, rng=rng)
+            return loss, loss_dict
+
+        jitted = jax.jit(step)
+        self._step_cache[('eval', phase)] = jitted
+        return jitted
+
+    # ------------- batch placement -------------
+    def _place_batch(self, batch):
+        arrays = {'features': batch['features'],
+                  'ground_truth': batch['ground_truth']}
+        if self.mesh is not None and len(self.mesh.devices.flatten()) > 1:
+            n = len(self.mesh.devices.flatten())
+            size = arrays['features'].shape[0]
+            if size % n == 0:
+                return shard_batch(self.mesh, arrays)
+        return jax.tree_util.tree_map(jnp.asarray, arrays)
+
+    # ------------- fit -------------
+    def fit(self, model, variables=None):
+        """Train `model` (a models.GarmentModel). Returns the final
+        (variables, opt_state) training state."""
+        if not self.datawrapper:
+            raise RuntimeError('Trainer::Error::fit called before use_dataset()')
+        if not hasattr(self, '_root_key'):
+            self.init_randomizer()
+        if self.mesh is None:
+            # largest device count that divides the batch size, so every
+            # training batch shards cleanly over the data axis
+            import jax as _jax
+            available = len(_jax.devices())
+            batch = self.setup['batch_size']
+            n = max((d for d in range(1, available + 1) if batch % d == 0),
+                    default=1)
+            self.mesh = make_mesh(n)
+            if n > 1:
+                print(f'Trainer::data-parallel mesh over {n} devices')
+
+        train_loader = self.datawrapper.loaders.train
+        valid_loader = self.datawrapper.loaders.validation
+        tx = self._make_optimizer(len(train_loader))
+
+        start_epoch = self._start_experiment(model)
+
+        # --- initialize / restore state ---
+        if variables is None:
+            sample = next(iter(train_loader))
+            init_key = jax.random.fold_in(self._root_key, 0)
+            variables = model.init_variables(
+                init_key, jnp.asarray(sample['features'][:2]))
+        params, batch_stats = variables['params'], variables.get('batch_stats', {})
+        opt_state = tx.init(params)
+        step_count = 0
+
+        if start_epoch > 0:
+            checkpoint = self.experiment.get_checkpoint_file(
+                'latest', template={'epoch': 0, 'step': 0,
+                                    'variables': {'params': params,
+                                                  'batch_stats': batch_stats},
+                                    'opt_state': opt_state})
+            params = checkpoint['variables']['params']
+            batch_stats = checkpoint['variables']['batch_stats']
+            opt_state = checkpoint['opt_state']
+            step_count = checkpoint['step']
+            self.experiment.checkpoint_counter = start_epoch
+            print(f'Trainer::Resumed run from epoch {start_epoch}')
+
+        if len(self.mesh.devices.flatten()) > 1:
+            params = replicate(self.mesh, params)
+            batch_stats = replicate(self.mesh, batch_stats)
+            opt_state = replicate(self.mesh, opt_state)
+
+        if self.log_with_visualization:
+            self.folder_for_preds = Path(self.experiment.run_dir()) / 'intermediate_preds'
+            self.folder_for_preds.mkdir(exist_ok=True)
+
+        # --- epoch loop ---
+        best_valid_loss = self.experiment.last_best_validation_loss()
+        es_tracking = []
+        loss_config = model.loss.config
+        log_step = step_count - 1
+
+        for epoch in range(start_epoch, self.setup['epochs']):
+            phase = self._phase_of(loss_config, epoch)
+            train_step = self._train_step_fn(model, tx, phase)
+            last_loss = np.nan
+
+            for batch_i, batch in enumerate(train_loader):
+                placed = self._place_batch(batch)
+                rng = jax.random.fold_in(self._root_key, step_count + 1)
+                params, batch_stats, opt_state, loss, loss_dict = train_step(
+                    params, batch_stats, opt_state, placed, rng)
+                step_count += 1
+                log_step += 1
+                last_loss = float(loss)
+
+                log_record = {k: _scalar(v) for k, v in loss_dict.items()}
+                log_record.update(epoch=epoch, batch=batch_i, loss=last_loss,
+                                  learning_rate=float(self.schedule(step_count)))
+                self.experiment.log(log_record, step=log_step)
+
+            # --- validation pass ---
+            eval_step = self._eval_step_fn(model, phase)
+            valid_losses = []
+            for batch in valid_loader:
+                placed = self._place_batch(batch)
+                rng = jax.random.fold_in(self._root_key, 2 ** 20 + epoch)
+                vloss, _ = eval_step(params, batch_stats, placed, rng)
+                valid_losses.append(float(vloss))
+            valid_loss = float(np.mean(valid_losses))
+
+            # loss structure updated this epoch? -> reset 'best'
+            structure_update = (
+                epoch == loss_config.get('epoch_with_stitches', 40)
+                and any(c in loss_config['loss_components']
+                        for c in ('stitch', 'stitch_supervised', 'free_class'))
+            ) or (epoch == loss_config.get('epoch_with_order_matching', 0)
+                  and loss_config.get('panel_order_inariant_loss', False))
+
+            if structure_update or best_valid_loss is None or valid_loss < best_valid_loss:
+                best_valid_loss = valid_loss
+                self._save_checkpoint(params, batch_stats, opt_state, epoch,
+                                      step_count, best=True)
+            else:
+                self._save_checkpoint(params, batch_stats, opt_state, epoch, step_count)
+
+            print(f'Epoch: {epoch}, Validation Loss: {valid_loss}')
+            self.experiment.log({'epoch': epoch, 'valid_loss': valid_loss,
+                                 'best_valid_loss': best_valid_loss}, step=log_step)
+            self.experiment.add_statistic('best_valid_loss', best_valid_loss)
+
+            if self.log_with_visualization:
+                self._log_an_image(model, params, batch_stats, epoch, log_step)
+
+            if self._early_stopping(es_tracking, last_loss, best_valid_loss,
+                                    float(self.schedule(step_count))):
+                print('Trainer::Stopped training early')
+                break
+
+        print('Trainer::Finished training')
+        self.final_variables = {'params': params, 'batch_stats': batch_stats}
+        return self.final_variables, opt_state
+
+    # ------------- internals -------------
+    def _start_experiment(self, model):
+        self.experiment.init_run({'trainer': self.setup})
+        if self.experiment.resumed:
+            start_epoch = self.experiment.last_epoch() + 1
+            split, batch_size, data_config = self.experiment.data_info()
+            self.datawrapper.dataset.update_config(data_config)
+            self.datawrapper.load_split(split, batch_size)
+        else:
+            start_epoch = 0
+            self.datawrapper.save_to_wandb(self.experiment)
+            self.experiment.add_config('NN', model.config)
+        return start_epoch
+
+    def _save_checkpoint(self, params, batch_stats, opt_state, epoch, step, best=False):
+        state = {'epoch': epoch, 'step': step,
+                 'variables': {'params': params, 'batch_stats': batch_stats},
+                 'opt_state': opt_state}
+        self.experiment.save_checkpoint(state, aliases=['best'] if best else [])
+
+    def _early_stopping(self, es_tracking, last_loss, best_valid, last_lr):
+        if np.isnan(last_loss):
+            self.experiment.add_statistic('stopped early', 'Nan in losses',
+                                          log='Trainer::EarlyStopping')
+            return True
+        es_tracking.append(float(best_valid))
+        patience = self.setup.get('early_stopping', {}).get('patience', 50)
+        window = self.setup.get('early_stopping', {}).get('window', 1e-4)
+        if len(es_tracking) > patience + 1:
+            es_tracking.pop(0)
+            if abs(max(es_tracking) - min(es_tracking)) < window:
+                self.experiment.add_statistic(
+                    'stopped early', f'Metric have not changed for {patience} epochs',
+                    log='Trainer::EarlyStopping')
+                return True
+        if last_lr < 1e-6:
+            self.experiment.add_statistic('stopped early', 'Learning Rate vanished',
+                                          log='Trainer::EarlyStopping')
+            return True
+        return False
+
+    def _log_an_image(self, model, params, batch_stats, epoch, log_step):
+        """Render one predicted pattern per garment type for visual tracking
+        (reference: nn/trainer.py:243-273)."""
+        loader = self.datawrapper.loaders.valid_single_per_data
+        if loader is None:
+            print('Trainer::Error::suitable loader is not available. Nothing logged')
+            return
+        try:
+            img_files = []
+            for batch in loader:
+                preds = model.module.apply(
+                    {'params': params, 'batch_stats': batch_stats},
+                    jnp.asarray(batch['features']), train=False)
+                preds = {k: np.asarray(v) for k, v in preds.items()}
+                img_files += self.datawrapper.dataset.save_prediction_batch(
+                    preds, batch['name'], batch['data_folder'],
+                    save_to=self.folder_for_preds)
+            for img in img_files:
+                self.experiment.log({f'pred_img::{img.name}': str(img),
+                                     'epoch': epoch}, step=log_step)
+        except BaseException as e:
+            print(e)
+            traceback.print_exc()
+            print('Trainer::Error::on saving pattern prediction for image logging. '
+                  'Nothing logged')
+
+
+def _scalar(value):
+    value = np.asarray(value)
+    if value.ndim == 0:
+        return float(value)
+    return value.tolist()

@@ -5,7 +5,10 @@ single-chip TPU is exercised by bench.py / __graft_entry__.py instead.
 """
 import os
 
+# JAX_PLATFORMS alone is not honored when the axon TPU plugin is installed;
+# JAX_PLATFORM_NAME forces the backend reliably.
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ.setdefault('JAX_PLATFORM_NAME', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()

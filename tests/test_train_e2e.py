@@ -1,0 +1,121 @@
+"""End-to-end smoke: train the attention model on the synthetic dataset for a
+few epochs through the full Trainer/ExperimentWrappper stack, evaluate, save
+predictions, and resume from checkpoints."""
+import numpy as np
+import pytest
+
+from garment_pattern_estimation_tpu.data import Garment3DPatternFullDataset
+from garment_pattern_estimation_tpu.experiment import ExperimentWrappper
+from garment_pattern_estimation_tpu.models import build_model
+from garment_pattern_estimation_tpu.train import Trainer, eval_metrics, make_predict_fn
+
+FOLDERS = ['tee_synth_300', 'skirt_synth_300', 'jumpsuit_synth_300']
+
+NN_CONFIG = {
+    'panel_encoding_size': 24, 'panel_hidden_size': 24, 'panel_n_layers': 1,
+    'pattern_encoding_size': 24, 'pattern_hidden_size': 24, 'pattern_n_layers': 1,
+    'EConv_hidden': 12, 'EConv_feature': 10, 'k_neighbors': 4, 'conv_depth': 1,
+    'skip_connections': True, 'global_pool': 'mean', 'local_attention': True,
+}
+LOSS_CONFIG = {
+    'loss_components': ['shape', 'loop', 'rotation', 'translation'],
+    'quality_components': ['shape', 'discrete', 'rotation', 'translation'],
+    'panel_order_inariant_loss': False,
+    'panel_origin_invariant_loss': False,
+    'epoch_with_stitches': 100,
+}
+TRAINER_SETUP = {
+    'batch_size': 4, 'epochs': 3, 'random_seed': 16,
+    'learning_rate': 2e-3, 'optimizer': 'Adam', 'weight_decay': 0,
+    'lr_scheduling': {'mode': '1cyclic'},
+    'early_stopping': {'window': 1e-8, 'patience': 50},
+}
+
+
+@pytest.fixture(scope='module')
+def trained(synthetic_dataset_root, tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp('experiments')
+    dataset = Garment3DPatternFullDataset(
+        synthetic_dataset_root,
+        {'data_folders': FOLDERS, 'mesh_samples': 60,
+         'panel_classification': str(synthetic_dataset_root / 'panel_classes.json')},
+        gt_caching=True, feature_caching=True)
+
+    experiment = ExperimentWrappper(
+        {'experiment': {'project_name': 'test-project', 'run_name': 'smoke'}},
+        output_root=out_dir)
+
+    trainer = Trainer(TRAINER_SETUP, experiment, dataset,
+                      {'valid_per_type': 1, 'test_per_type': 1, 'type': 'count',
+                       'random_seed': 10},
+                      with_norm=True, with_visualization=False)
+    trainer.init_randomizer()
+
+    model = build_model('GarmentSegmentPattern3D', dataset.config, NN_CONFIG,
+                        LOSS_CONFIG, use_pallas=False)
+    variables, _ = trainer.fit(model)
+    return dataset, experiment, trainer, model, variables, out_dir
+
+
+def test_training_ran_and_logged(trained):
+    dataset, experiment, trainer, model, variables, out_dir = trained
+    metrics_file = experiment.run_dir() / 'metrics.jsonl'
+    assert metrics_file.exists()
+    import json
+    records = [json.loads(line) for line in metrics_file.read_text().splitlines()]
+    train_records = [r for r in records if 'loss' in r]
+    assert len(train_records) == 3 * 2  # 3 epochs x 2 balanced batches (9 train / 4)
+    # loss decreased from the first to the last epoch
+    assert train_records[-1]['loss'] < train_records[0]['loss']
+    assert all(np.isfinite(r['loss']) for r in train_records)
+    # learning rate followed a schedule
+    assert train_records[0]['learning_rate'] != train_records[-1]['learning_rate']
+
+
+def test_checkpoints_and_best_alias(trained):
+    _, experiment, *_ = trained
+    aliases = experiment._aliases()
+    assert 'latest' in aliases and 'best' in aliases
+    ckpt = experiment.get_checkpoint_file('best')
+    assert 'variables' in ckpt and 'opt_state' in ckpt
+    assert ckpt['epoch'] <= 2
+
+
+def test_eval_metrics_full_stack(trained):
+    dataset, experiment, trainer, model, variables, _ = trained
+    metrics = eval_metrics(model, variables, trainer.datawrapper, 'validation')
+    assert metrics['full_loss'] is not None and np.isfinite(metrics['full_loss'])
+    assert 'panel_shape_l2' in metrics
+    assert 'num_panels_accuracy' in metrics
+    breakdown = eval_metrics(model, variables, trainer.datawrapper,
+                             'valid_per_data_folder')
+    assert set(breakdown.keys()) == {'tee', 'skirt', 'jumpsuit'}
+
+
+def test_prediction_roundtrip(trained, tmp_path):
+    dataset, experiment, trainer, model, variables, _ = trained
+    predict_fn = make_predict_fn(model, variables)
+    pred_path = experiment.prediction(
+        tmp_path, predict_fn, trainer.datawrapper, nick='smoke', sections=['test'])
+    spec_files = list(pred_path.rglob('*_predicted__specification.json'))
+    assert len(spec_files) >= 1  # some predictions may fail to decode at random init
+
+
+def test_resume_from_checkpoint(trained, synthetic_dataset_root):
+    dataset, experiment, trainer, model, variables, out_dir = trained
+    # new trainer resuming the same run: starts at epoch 3, trains 1 more
+    experiment2 = ExperimentWrappper(
+        {'experiment': {'project_name': 'test-project', 'run_name': 'smoke',
+                        'run_id': experiment.run_id}},
+        output_root=out_dir)
+    setup = dict(TRAINER_SETUP, epochs=4)
+    trainer2 = Trainer(setup, experiment2, dataset,
+                       {'valid_per_type': 1, 'test_per_type': 1, 'type': 'count',
+                        'random_seed': 10},
+                       with_norm=True)
+    trainer2.init_randomizer()
+    model2 = build_model('GarmentSegmentPattern3D', dataset.config, NN_CONFIG,
+                         LOSS_CONFIG, use_pallas=False)
+    trainer2.fit(model2)
+    assert experiment2.resumed
+    assert experiment2.last_epoch() >= 3
