@@ -16,6 +16,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ..ops.knn import knn as knn_search, pairwise_sq_dists
@@ -120,13 +121,19 @@ class EdgeConvFeatures(nn.Module):
         for conv_id in range(self.conv_depth):
             mlp_sizes = [hidden_by_layer[conv_id]] * self.econv_hidden_depth \
                         + [features_by_layer[conv_id]]
-            out = EdgeConv(mlp_sizes, k=self.k_neighbors, aggr=self.econv_aggr,
-                           use_pallas=self.use_pallas,
+            out = EdgeConv(mlp_sizes, k=min(self.k_neighbors, out.shape[1]),
+                           aggr=self.econv_aggr, use_pallas=self.use_pallas,
                            name=f'conv{conv_id}')(out, train=train)
             if self.graph_pooling:
-                raise NotImplementedError(
-                    'EdgeConvFeatures::graph_pooling is not implemented yet '
-                    '(not used by any shipped model config)')
+                if self.skip_connections:
+                    raise ValueError(
+                        'EdgeConvFeatures::graph_pooling coarsens the point set '
+                        'and cannot be combined with xyz skip connections '
+                        '(invalid in the reference too, net_blocks.py:178-180)')
+                out, _ = DynamicGraphPool(
+                    features_by_layer[conv_id], k=self.k_neighbors,
+                    pool_ratio=self.pool_ratio, use_pallas=self.use_pallas,
+                    name=f'gpool{conv_id}')(out, train=train)
 
         if self.skip_connections:
             out = jnp.concatenate([out, positions], axis=-1)
@@ -141,6 +148,83 @@ class EdgeConvFeatures(nn.Module):
         """The configured global pool as a standalone fn (used by the
         attention head to pool per-panel weighted features)."""
         return GLOBAL_POOLS[self.global_pool](features, mask)
+
+
+class DynamicGraphPool(nn.Module):
+    """Self-attention graph pooling on point features (the reference's
+    `DynamicASAPool`, nn/net_blocks.py:194-218, re-expressed with fixed
+    capacity for XLA).
+
+    For every node: a kNN cluster is summarized by attention over its
+    neighbors; a LEConv-style fitness score ranks clusters; the top
+    ceil(ratio*N) clusters survive, their features gated by fitness. The
+    third-party ASAPooling CUDA op becomes masked gathers + a top-k —
+    same select-by-learned-fitness semantics, static shapes."""
+    feature_size: int
+    k: int = 10
+    pool_ratio: float = 0.5
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, N, C = x.shape
+        keep = max(int(np.ceil(self.pool_ratio * N)), 1)
+        k = min(self.k, N)
+
+        idx = knn_search(jax.lax.stop_gradient(x), k, use_pallas=self.use_pallas)
+        neighbors = gather_neighbors(x, idx)                       # (B, N, k, C)
+
+        # intra-cluster attention: query = max over the cluster (ASAP's master)
+        query = jnp.max(neighbors, axis=2)                          # (B, N, C)
+        att_in = jnp.concatenate(
+            [jnp.broadcast_to(query[:, :, None, :], neighbors.shape), neighbors],
+            axis=-1)
+        scores = nn.Dense(1, name='att')(att_in)[..., 0]            # (B, N, k)
+        weights = jax.nn.softmax(nn.leaky_relu(scores), axis=-1)
+        cluster = jnp.einsum('bnk,bnkc->bnc', weights, neighbors)   # (B, N, C)
+
+        # LEConv-style fitness: local feature vs neighborhood mean
+        fitness = (nn.Dense(1, name='fit_self')(cluster)[..., 0]
+                   + nn.Dense(1, name='fit_nbr')(
+                       cluster - jnp.mean(gather_neighbors(cluster, idx), axis=2))[..., 0])
+        fitness = jnp.tanh(fitness)                                  # (B, N)
+
+        top_fit, top_idx = jax.lax.top_k(fitness, keep)              # (B, keep)
+        selected = jnp.take_along_axis(cluster, top_idx[..., None], axis=1)
+        return selected * top_fit[..., None], top_idx
+
+
+class EdgeConvPoolingFeatures(nn.Module):
+    """Three-stage EdgeConv + graph-pool encoder
+    (reference: nn/net_blocks.py:221-268)."""
+    out_size: int
+    n_features1: int = 32
+    n_features2: int = 128
+    n_features3: int = 256
+    k: int = 10
+    pool_ratio: float = 0.5
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, positions, pool_global: bool = True, train: bool = False):
+        out = EdgeConv([64, 64, self.n_features1], k=self.k,
+                       use_pallas=self.use_pallas, name='conv1')(positions, train=train)
+        out, _ = DynamicGraphPool(self.n_features1, k=self.k,
+                                  pool_ratio=self.pool_ratio,
+                                  use_pallas=self.use_pallas, name='pool1')(out, train=train)
+        out = EdgeConv([self.n_features2] * 3, k=min(self.k, out.shape[1]),
+                       use_pallas=self.use_pallas, name='conv2')(out, train=train)
+        out, _ = DynamicGraphPool(self.n_features2, k=min(self.k, out.shape[1]),
+                                  pool_ratio=self.pool_ratio,
+                                  use_pallas=self.use_pallas, name='pool2')(out, train=train)
+        out = EdgeConv([self.n_features3] * 3, k=min(self.k, out.shape[1]),
+                       use_pallas=self.use_pallas, name='conv3')(out, train=train)
+        pooled = jnp.max(out, axis=1)
+        encoding = nn.Dense(self.out_size, name='lin')(pooled)
+        return encoding, out, None
+
+    def pool(self, features, mask=None):
+        return GLOBAL_POOLS['max'](features, mask)
 
 
 # ----------------------------------------------------------------------
@@ -474,4 +558,5 @@ DECODER_REGISTRY = {
 ENCODER_REGISTRY = {
     'EdgeConvFeatures': EdgeConvFeatures,
     'PointNetPlusPlus': PointNetPlusPlus,
+    'EdgeConvPoolingFeatures': EdgeConvPoolingFeatures,
 }

@@ -236,17 +236,20 @@ class Trainer:
             last_loss = np.nan
 
             for batch_i, batch in enumerate(train_loader):
+                step_start = time.perf_counter()
+                self._maybe_profile(step_count)
                 placed = self._place_batch(batch)
                 rng = jax.random.fold_in(self._root_key, step_count + 1)
                 params, batch_stats, opt_state, loss, loss_dict = train_step(
                     params, batch_stats, opt_state, placed, rng)
                 step_count += 1
                 log_step += 1
-                last_loss = float(loss)
+                last_loss = float(loss)  # device sync: completes the step
 
                 log_record = {k: _scalar(v) for k, v in loss_dict.items()}
                 log_record.update(epoch=epoch, batch=batch_i, loss=last_loss,
-                                  learning_rate=float(self.schedule(step_count)))
+                                  learning_rate=float(self.schedule(step_count)),
+                                  step_time=time.perf_counter() - step_start)
                 self.experiment.log(log_record, step=log_step)
 
             # --- validation pass ---
@@ -292,6 +295,26 @@ class Trainer:
         return self.final_variables, opt_state
 
     # ------------- internals -------------
+    def _maybe_profile(self, step_count):
+        """Capture a jax.profiler device trace for a short step window when
+        `trainer.profile` is configured (SURVEY §5.1: the reference had no
+        profiling at all; traces land in <run>/profile for TensorBoard/xprof)."""
+        profile_cfg = self.setup.get('profile')
+        if not profile_cfg:
+            return
+        start = profile_cfg.get('start_step', 10) if isinstance(profile_cfg, dict) else 10
+        steps = profile_cfg.get('num_steps', 5) if isinstance(profile_cfg, dict) else 5
+        if step_count == start:
+            trace_dir = Path(self.experiment.run_dir()) / 'profile'
+            trace_dir.mkdir(exist_ok=True)
+            jax.profiler.start_trace(str(trace_dir))
+            self._profiling = True
+            print(f'Trainer::profiler trace started -> {trace_dir}')
+        elif getattr(self, '_profiling', False) and step_count == start + steps:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print('Trainer::profiler trace stopped')
+
     def _start_experiment(self, model):
         self.experiment.init_run({'trainer': self.setup})
         if self.experiment.resumed:
