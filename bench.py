@@ -22,20 +22,30 @@ CPU_BATCH = 4          # CPU is ~3 orders slower; throughput is per-cloud
 CACHE = Path(__file__).parent / '.bench_cpu_baseline.json'
 
 
-def measure(batch, num_points, warmup=2, iters=5):
+def measure(batch, num_points, warmup=1, iters=5):
+    from garment_pattern_estimation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    """Per-batch forward time with the iteration loop ON DEVICE (one host
+    dispatch), so tunnel/dispatch latency doesn't pollute the number."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
     sys.path.insert(0, str(Path(__file__).parent))
     from __graft_entry__ import entry
 
     forward, (features,) = entry(batch_size=batch, num_points=num_points)
-    fn = jax.jit(forward)
-    out = fn(features)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        jax.block_until_ready(fn(features))
+
+    @jax.jit
+    def run(v):
+        def step(_, acc):
+            out = forward(v + acc * 1e-12)  # chain: no cross-iteration overlap
+            return out['outlines'].sum() * 1e-12
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    for _ in range(warmup):
+        np.asarray(run(features))  # compile + full sync
     start = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(fn(features))
+    np.asarray(run(features))
     elapsed = (time.perf_counter() - start) / iters
     return batch / elapsed, elapsed
 

@@ -7,6 +7,9 @@ from pathlib import Path
 import yaml
 
 from ..core import Properties
+from ..utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def load_yaml(path):

@@ -38,19 +38,22 @@ class MLP(nn.Module):
     order with BN *after* the activation (nn/net_blocks.py:43-47).
 
     Expects 2D input (rows, features) — same contract as torch BatchNorm1d.
+    `compute_dtype` runs the matmuls in bf16 on the MXU (params stay f32).
     """
     features: Sequence[int]
     batch_norm: bool = True
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         for size in self.features:
-            x = nn.Dense(size)(x)
+            x = nn.Dense(size, dtype=dtype)(x)
             x = nn.relu(x)
             if self.batch_norm:
                 x = nn.BatchNorm(
                     use_running_average=not train,
-                    momentum=0.9, epsilon=1e-5)(x)
+                    momentum=0.9, epsilon=1e-5, dtype=dtype)(x)
         return x
 
 
@@ -65,17 +68,20 @@ class EdgeConv(nn.Module):
     k: int = 5
     aggr: str = 'max'
     use_pallas: bool | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, N, C = x.shape
-        idx = knn_search(jax.lax.stop_gradient(x), self.k, use_pallas=self.use_pallas)
+        # kNN stays f32: near-tie neighbor ranking is precision-sensitive
+        idx = knn_search(jax.lax.stop_gradient(x).astype(jnp.float32), self.k,
+                         use_pallas=self.use_pallas)
         neighbors = gather_neighbors(x, idx)                     # (B, N, k, C)
         center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
         edge_features = jnp.concatenate([center, neighbors - center], axis=-1)
 
         flat = edge_features.reshape(-1, 2 * C)
-        out = MLP(self.mlp_features)(flat, train=train)
+        out = MLP(self.mlp_features, compute_dtype=self.compute_dtype)(flat, train=train)
         out = out.reshape(B, N, self.k, -1)
 
         if self.aggr == 'max':
@@ -105,6 +111,7 @@ class EdgeConvFeatures(nn.Module):
     graph_pooling: bool = False
     pool_ratio: float = 0.1
     use_pallas: bool | None = None
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, positions, pool_global: bool = True, train: bool = False):
@@ -123,6 +130,7 @@ class EdgeConvFeatures(nn.Module):
                         + [features_by_layer[conv_id]]
             out = EdgeConv(mlp_sizes, k=min(self.k_neighbors, out.shape[1]),
                            aggr=self.econv_aggr, use_pallas=self.use_pallas,
+                           compute_dtype=self.compute_dtype,
                            name=f'conv{conv_id}')(out, train=train)
             if self.graph_pooling:
                 if self.skip_connections:
@@ -136,8 +144,9 @@ class EdgeConvFeatures(nn.Module):
                     name=f'gpool{conv_id}')(out, train=train)
 
         if self.skip_connections:
-            out = jnp.concatenate([out, positions], axis=-1)
+            out = jnp.concatenate([out.astype(positions.dtype), positions], axis=-1)
 
+        out = out.astype(jnp.float32)  # downstream heads/losses stay f32
         if pool_global:
             pooled = GLOBAL_POOLS[self.global_pool](out)
             encoding = nn.Dense(self.out_size, name='lin')(pooled)

@@ -59,6 +59,7 @@ class GarmentFullPattern3DModule(nn.Module):
     graph_pooling: bool = False
     pool_ratio: float = 0.1
     use_pallas: bool | None = None
+    compute_dtype: str | None = None   # e.g. 'bfloat16' for the encoder MLPs
 
     def setup(self):
         self.encoder = self._make_encoder()
@@ -87,7 +88,8 @@ class GarmentFullPattern3DModule(nn.Module):
                 global_pool=self.global_pool,
                 skip_connections=self.skip_connections,
                 graph_pooling=self.graph_pooling, pool_ratio=self.pool_ratio,
-                use_pallas=self.use_pallas, name='feature_extractor')
+                use_pallas=self.use_pallas, compute_dtype=self.compute_dtype,
+                name='feature_extractor')
         return encoder_cls(
             out_size=self.pattern_encoding_size,
             econv_hidden=self.econv_hidden, econv_feature=self.econv_feature,
@@ -156,7 +158,8 @@ class GarmentSegmentPattern3DModule(GarmentFullPattern3DModule):
         if self.skip_connections:
             att_in += 3  # raw xyz concatenated by the encoder
         self.point_segment_mlp = blocks.MLP(
-            [att_in, att_in, self.max_pattern_size], name='point_segment_mlp')
+            [att_in, att_in, self.max_pattern_size],
+            compute_dtype=self.compute_dtype, name='point_segment_mlp')
         self.panel_dec_lin = nn.Dense(self.panel_encoding_size, name='panel_dec_lin')
 
     def panel_encodings_from_3d(self, positions, train=False):
@@ -174,13 +177,21 @@ class GarmentSegmentPattern3DModule(GarmentFullPattern3DModule):
 
         logits = self.point_segment_mlp(
             att_input.reshape(B * N, -1), train=train).reshape(B, N, -1)
-        weights = sparsemax(logits)                                # (B, N, P)
+        weights = sparsemax(logits.astype(jnp.float32))                                # (B, N, P)
 
-        # per-panel pooled features: weight points, pool over N, project
-        weighted = jnp.einsum('bnp,bnf->bpnf', weights, point_features)
-        pool = GLOBAL_POOLS[self.global_pool]
-        pooled = pool(weighted.reshape(B * self.max_pattern_size, N, -1)) \
-            .reshape(B, self.max_pattern_size, -1)
+        # per-panel pooled features: weight points, pool over N, project.
+        # mean/add pools contract over N directly as a matmul (MXU) instead
+        # of materializing the (B, P, N, F) weighted tensor (1.8 GB at the
+        # published scale — the single largest HBM cost of the forward pass)
+        if self.global_pool in ('mean', 'add'):
+            pooled = jnp.einsum('bnp,bnf->bpf', weights, point_features)
+            if self.global_pool == 'mean':
+                pooled = pooled / N
+        else:  # max: genuinely needs the per-panel weighted features
+            weighted = jnp.einsum('bnp,bnf->bpnf', weights, point_features)
+            pooled = GLOBAL_POOLS[self.global_pool](
+                weighted.reshape(B * self.max_pattern_size, N, -1)) \
+                .reshape(B, self.max_pattern_size, -1)
         panel_encodings = self.panel_dec_lin(pooled)
         return panel_encodings, weights
 

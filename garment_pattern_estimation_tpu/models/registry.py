@@ -97,10 +97,14 @@ class GarmentModel:
 
 
 def build_model(model_name, data_config, nn_config=None, loss_config=None,
-                use_pallas=None):
-    """Construct a model family by its reference name."""
+                use_pallas=None, compute_dtype=None):
+    """Construct a model family by its reference name.
+
+    `compute_dtype` (or a 'compute_dtype' key in nn_config): e.g. 'bfloat16'
+    to run the encoder MLP matmuls on the MXU in bf16 (params stay f32)."""
     nn_config = dict(nn_config or {})
     nn_config.pop('loss', None)  # loss section travels separately
+    compute_dtype = compute_dtype or nn_config.pop('compute_dtype', None)
     loss_config = dict(loss_config or {})
 
     if model_name in ('GarmentFullPattern3D', 'GarmentSegmentPattern3D'):
@@ -126,6 +130,7 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
             rotation_size=data_config['rotation_size'],
             translation_size=data_config['translation_size'],
             use_pallas=use_pallas,
+            compute_dtype=compute_dtype,
         )
         for key, value in config.items():
             field = _FIELD_MAP.get(key, key)

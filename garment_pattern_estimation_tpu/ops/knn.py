@@ -71,23 +71,44 @@ def knn_xla(points, k, query_chunk=512):
 # Pallas kernel
 # ----------------------------------------------------------------------
 
-def _knn_kernel(x_ref, q_ref, idx_ref, dist_scratch, idx_scratch, *, k, tile_n, n_points):
-    """One grid step: running top-k for TILE_M query rows of one batch elem.
+_LANES = 128  # accumulators are lane-aligned; only the first k lanes are live
 
-    x_ref:   (1, N, D)   all points of this batch element (VMEM)
-    q_ref:   (1, TM, D)  the query tile (VMEM)
-    idx_ref: (1, TM, k)  output neighbor indices
-    scratch: running (TM, k) best distances / indices
+
+def _extract_topk(dists, col_ids, k):
+    """Smallest-k (values, ids) of each row of `dists` (TM, C), returned in
+    lane-aligned (TM, 128) arrays (slots beyond k stay BIG/0). Ascending
+    extraction with first-occurrence (lowest-index) tie-break."""
+    TM = dists.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+    out_d = jnp.full((TM, _LANES), _BIG, jnp.float32)
+    out_i = jnp.zeros((TM, _LANES), jnp.int32)
+    for slot in range(k):  # k is tiny (5): unrolled
+        pos = jnp.argmin(dists, axis=1)
+        val = jnp.min(dists, axis=1)
+        hit = col == pos[:, None]
+        picked = jnp.sum(jnp.where(hit, col_ids, 0), axis=1)
+        slot_mask = lane == slot  # static per slot
+        out_d = jnp.where(slot_mask, val[:, None], out_d)
+        out_i = jnp.where(slot_mask, picked[:, None], out_i)
+        dists = jnp.where(hit, _BIG, dists)
+    return out_d, out_i
+
+
+def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
+    """One grid step: top-k for TILE_M query rows of one batch element.
+
+    Distances for a column tile come off the MXU; per-tile top-k extraction
+    and the running merge work on lane-aligned (TM, 128) arrays (narrow or
+    unaligned lane shapes force catastrophic relayouts on the VPU).
     """
     num_tiles = n_points // tile_n
-
     q = q_ref[0]                                             # (TM, D)
     q_norm = jnp.sum(q * q, axis=-1, keepdims=True)          # (TM, 1)
+    TM = q.shape[0]
 
-    dist_scratch[:] = jnp.full_like(dist_scratch, jnp.asarray(_BIG, dist_scratch.dtype))
-    idx_scratch[:] = jnp.zeros_like(idx_scratch)
-
-    def col_tile(t, _):
+    def col_tile(t, carry):
+        acc_d, acc_i = carry
         col_base = t * tile_n
         keys = x_ref[0, pl.ds(col_base, tile_n), :]          # (TN, D)
         k_norm = jnp.sum(keys * keys, axis=-1)               # (TN,)
@@ -95,33 +116,90 @@ def _knn_kernel(x_ref, q_ref, idx_ref, dist_scratch, idx_scratch, *, k, tile_n, 
             q, keys, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (TM, TN)
         dists = q_norm + k_norm[None, :] - 2.0 * cross
-
         col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
 
-        # the running top-k sits in the leading columns, so on ties earlier
-        # (lower-index) entries win — same tie-break as lax.top_k
-        merged_d = jnp.concatenate([dist_scratch[:], dists], axis=1)   # (TM, k+TN)
-        merged_i = jnp.concatenate([idx_scratch[:], col_ids], axis=1)
+        tile_d, tile_i = _extract_topk(dists, col_ids, k)    # (TM, 128)
+        # merge: running top-k first -> earlier (lower-index) entries win
+        # ties, matching lax.top_k
+        merged_d = jnp.concatenate([acc_d, tile_d], axis=1)  # (TM, 256) aligned
+        merged_i = jnp.concatenate([acc_i, tile_i], axis=1)
+        return _extract_topk(merged_d, merged_i, k)
 
-        for slot in range(k):  # k is tiny (5): unrolled min-extraction
-            pos = jnp.argmin(merged_d, axis=1)                          # (TM,)
-            one_hot = pos[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, merged_d.shape, 1)
-            dist_scratch[:, slot] = jnp.min(merged_d, axis=1)
-            idx_scratch[:, slot] = jnp.sum(jnp.where(one_hot, merged_i, 0), axis=1)
-            merged_d = jnp.where(one_hot, _BIG, merged_d)
-        return 0
-
-    jax.lax.fori_loop(0, num_tiles, col_tile, 0)
-    idx_ref[0] = idx_scratch[:]
+    if num_tiles == 1:
+        acc_d, acc_i = col_tile(0, (jnp.full((TM, _LANES), _BIG, jnp.float32),
+                                    jnp.zeros((TM, _LANES), jnp.int32)))
+    else:
+        acc_d, acc_i = jax.lax.fori_loop(
+            0, num_tiles, col_tile,
+            (jnp.full((TM, _LANES), _BIG, jnp.float32),
+             jnp.zeros((TM, _LANES), jnp.int32)))
+    idx_ref[0] = acc_i
 
 
-def knn_pallas(points, k, tile_m=256, tile_n=512, interpret=False):
+def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_points):
+    """HBM-streaming variant for point sets too large for VMEM: key tiles are
+    double-buffered into VMEM with async DMA while the previous tile's
+    distances/top-k compute. `x_hbm` is the full (B, N, D) array (ANY memory
+    space requires a trivial block spec); the batch element is selected here."""
+    b = pl.program_id(0)
+    num_tiles = n_points // tile_n
+    q = q_ref[0]
+    q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
+    TM = q.shape[0]
+
+    def tile_dma(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(t * tile_n, tile_n), :],
+            keys_buf.at[slot], sems.at[slot])
+
+    tile_dma(0, 0).start()
+
+    def col_tile(t, carry):
+        acc_d, acc_i = carry
+        slot = t % 2
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            tile_dma((t + 1) % 2, t + 1).start()
+
+        tile_dma(slot, t).wait()
+        keys = keys_buf[slot]
+        k_norm = jnp.sum(keys * keys, axis=-1)
+        cross = jax.lax.dot_general(
+            q, keys, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dists = q_norm + k_norm[None, :] - 2.0 * cross
+        col_base = t * tile_n
+        col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+
+        tile_d, tile_i = _extract_topk(dists, col_ids, k)
+        merged_d = jnp.concatenate([acc_d, tile_d], axis=1)
+        merged_i = jnp.concatenate([acc_i, tile_i], axis=1)
+        return _extract_topk(merged_d, merged_i, k)
+
+    acc_d, acc_i = jax.lax.fori_loop(
+        0, num_tiles, col_tile,
+        (jnp.full((TM, _LANES), _BIG, jnp.float32),
+         jnp.zeros((TM, _LANES), jnp.int32)))
+    idx_ref[0] = acc_i
+
+
+# keep the whole point set in VMEM only below this footprint (bytes);
+# larger sets stream key tiles from HBM
+_VMEM_X_BUDGET = 6 * 1024 * 1024
+
+
+def knn_pallas(points, k, tile_m=256, tile_n=2048, interpret=False):
     """Pallas tiled top-k kNN: indices (B, N, k), self included.
 
     Pads N to a tile multiple with far-away ghost points so padded keys never
-    enter any top-k; padded query rows are sliced off on return.
+    enter any top-k; padded query rows are sliced off on return. Small point
+    sets keep all keys in VMEM; large ones (the 10k-point stress config)
+    stream key tiles from HBM with double-buffered DMA.
     """
+    if k > _LANES:
+        raise ValueError(f'knn_pallas::k={k} exceeds the lane-aligned '
+                         f'accumulator capacity ({_LANES})')
     B, N, D = points.shape
     k = min(k, N)
     tile_m = min(tile_m, _round_up(N, 8))
@@ -134,28 +212,40 @@ def knn_pallas(points, k, tile_m=256, tile_n=512, interpret=False):
         x = x.at[:, N:, 0].set(1e15)  # ghost points: never selected
 
     grid = (B, pad_n // tile_m)
-    kernel = functools.partial(_knn_kernel, k=k, tile_n=tile_n, n_points=pad_n)
+    stream_from_hbm = pad_n * pad_d * 4 > _VMEM_X_BUDGET and not interpret
+
+    if stream_from_hbm:
+        kernel = functools.partial(_knn_kernel_hbm, k=k, tile_n=tile_n,
+                                   n_points=pad_n)
+        # ANY memory space requires the trivial full-array block spec; the
+        # kernel indexes the batch element itself via program_id(0)
+        x_spec = pl.BlockSpec((B, pad_n, pad_d), lambda b, i: (0, 0, 0),
+                              memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((2, tile_n, pad_d), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kernel = functools.partial(_knn_kernel, k=k, tile_n=tile_n,
+                                   n_points=pad_n)
+        x_spec = pl.BlockSpec((1, pad_n, pad_d), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        scratch = []
 
     idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, pad_n, pad_d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((1, tile_m, pad_d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_m, k), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, tile_m, _LANES), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, pad_n, k), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_m, k), jnp.float32),
-            pltpu.VMEM((tile_m, k), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((B, pad_n, _LANES), jnp.int32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, x)
 
-    return idx[:, :N]
+    return idx[:, :N, :k]
 
 
 def _round_up(x, m):

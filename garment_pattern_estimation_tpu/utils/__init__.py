@@ -1,0 +1,18 @@
+"""Utilities: synthetic data generation, runtime helpers."""
+
+import os
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Persistent XLA compilation cache — first-compile of the Pallas kernels
+    through a remote compile service can take minutes; the cache makes every
+    later process start instant."""
+    import jax
+    cache_dir = cache_dir or os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                            os.path.expanduser('~/.cache/jax_gpe'))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    try:
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except AttributeError:  # older jax
+        pass

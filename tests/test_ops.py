@@ -46,9 +46,9 @@ def test_knn_xla_matches_numpy(shape):
 
 def test_knn_pallas_interpret_matches_xla():
     rng = np.random.default_rng(2)
-    pts = rng.normal(size=(1, 128, 3)).astype(np.float32)  # tiny: interpret mode is slow on CPU
+    pts = rng.normal(size=(1, 64, 3)).astype(np.float32)  # tiny: interpret mode is slow on CPU
     idx_ref = np.asarray(knn_xla(jnp.asarray(pts), 5))
-    idx_pl = np.asarray(knn_pallas(jnp.asarray(pts), 5, tile_m=32, tile_n=128,
+    idx_pl = np.asarray(knn_pallas(jnp.asarray(pts), 5, tile_m=16, tile_n=64,
                                    interpret=True))
     for b in range(1):
         d = ((pts[b][:, None, :] - pts[b][None, :, :]) ** 2).sum(-1)
