@@ -23,10 +23,10 @@ CACHE = Path(__file__).parent / '.bench_cpu_baseline.json'
 
 
 def measure(batch, num_points, warmup=1, iters=5):
-    from garment_pattern_estimation_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
     """Per-batch forward time with the iteration loop ON DEVICE (one host
     dispatch), so tunnel/dispatch latency doesn't pollute the number."""
+    from garment_pattern_estimation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

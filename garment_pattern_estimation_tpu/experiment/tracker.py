@@ -56,7 +56,11 @@ class ExperimentWrappper:
 
     def __init__(self, config, output_root='./experiments', no_sync=False):
         """`config` carries an 'experiment' section with project_name /
-        run_name / run_id (id empty -> new run on init_run())."""
+        run_name / run_id (id empty -> new run on init_run()).
+
+        When the `wandb` package is installed and `no_sync` is False, runs
+        mirror to W&B with the same project/run naming (the reference's cloud
+        behavior); the local directory stays the source of truth either way."""
         exp_section = config.get('experiment', {})
         self.project = exp_section.get('project_name', 'Garments-Reconstruction')
         self.run_name = exp_section.get('run_name', 'run')
@@ -67,6 +71,14 @@ class ExperimentWrappper:
         self.resumed = False
         self.checkpoint_counter = 0
         self._local_step = -1
+
+        self._wandb = None
+        if not no_sync:
+            try:
+                import wandb  # optional mirror; absent in most deployments
+                self._wandb = wandb
+            except ImportError:
+                pass
 
         # when the run already exists on disk, surface its stored config
         if self.run_id and self.run_dir().exists():
@@ -117,6 +129,14 @@ class ExperimentWrappper:
         if not (self.run_dir() / 'summary.json').exists():
             self._save_summary()
         self.initialized = True
+        if self._wandb is not None:
+            try:
+                self._wandb_run = self._wandb.init(
+                    project=self.project, name=self.run_name, id=self.run_id,
+                    resume='allow', config=self.config)
+            except Exception as e:  # cloud sync is best-effort
+                print(f'ExperimentWrappper::Warning::wandb sync disabled: {e}')
+                self._wandb = None
         return self.run_id
 
     def is_finished(self):
@@ -178,6 +198,8 @@ class ExperimentWrappper:
         record.update({k: _to_jsonable(v) for k, v in metrics.items()})
         with open(self.run_dir() / 'metrics.jsonl', 'a') as f:
             f.write(json.dumps(record) + '\n')
+        if self._wandb is not None and getattr(self, '_wandb_run', None) is not None:
+            self._wandb.log(record, step=self._local_step)
 
     def last_best_validation_loss(self):
         return self.summary.get('best_valid_loss')
