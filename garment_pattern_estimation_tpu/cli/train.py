@@ -93,6 +93,14 @@ def main(argv=None):
     model.loss.with_quality_eval = True
     model.loss.debug_prints = True
 
+    # record canonicalization flags into the dataset config: prediction
+    # saving must not propagate GT stitch/edge ids for models trained with
+    # order/origin matching (their panel slots are arbitrary)
+    dataset.config['order_matching'] = bool(
+        model.loss.config.get('panel_order_inariant_loss', False))
+    dataset.config['origin_matching'] = bool(
+        model.loss.config.get('panel_origin_invariant_loss', False))
+
     # --- train ---
     variables, _ = trainer.fit(model)
 

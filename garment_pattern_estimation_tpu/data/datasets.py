@@ -461,15 +461,22 @@ class Garment3DPatternFullDataset(GarmentBaseDataset):
         for idx, (name, folder) in enumerate(zip(datanames, data_folders)):
             prediction = {key: np.asarray(predictions[key][idx]) for key in predictions}
 
-            # complement the prediction with GT fields when available
-            if self.gt_caching and (folder + '/' + name) in self.gt_cached:
+            # complement the prediction with GT fields when available — but
+            # NOT when the model trained with order/origin matching: its
+            # panels then live in arbitrary slots and GT stitch/edge ids do
+            # not apply (reference: datasets.py:676-685)
+            canonicalized = (self.config.get('order_matching')
+                             or self.config.get('origin_matching'))
+            if (not canonicalized and self.gt_caching
+                    and (folder + '/' + name) in self.gt_cached):
                 gt = self.gt_cached[folder + '/' + name]
                 for key in gt:
                     if key not in prediction:
                         prediction[key] = np.asarray(gt[key])
-            elif not self.gt_caching:
-                print(f'{self.__class__.__name__}::Warning::propagating GT info on '
-                      'prediction is not possible without gt caching')
+            elif canonicalized or not self.gt_caching:
+                print(f'{self.__class__.__name__}::Warning::propagating '
+                      'information from GT on prediction is not implemented '
+                      'in given context')
 
             pattern = self._pred_to_pattern(prediction, name)
 

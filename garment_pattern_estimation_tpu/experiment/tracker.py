@@ -333,12 +333,14 @@ class ExperimentWrappper:
         return model, variables
 
     def prediction(self, save_to, predict_fn, datawrapper, nick='test',
-                   sections=('test',), art_name='multi-data', model=None):
-        """Batch prediction + artifact registration
-        (reference: experiment.py:243-255)."""
+                   sections=('test',), art_name='multi-data', model=None,
+                   orig_folder_names=True):
+        """Batch prediction + artifact registration. Predictions keep the
+        original data-folder names (not nicknames) so they can serve as a
+        dataset root downstream (reference: experiment.py:243-255)."""
         prediction_path = datawrapper.predict(
             predict_fn, save_to=Path(save_to), dir_tag=nick, sections=sections,
-            model=model)
+            model=model, orig_folder_names=orig_folder_names)
         if art_name and self.run_id and self.run_dir().exists():
             self.add_statistic('prediction_path', str(prediction_path))
         return prediction_path

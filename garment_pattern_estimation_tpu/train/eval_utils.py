@@ -42,8 +42,16 @@ def eval_metrics(model, variables, data_wrapper, section='test', rng_seed=0):
 
 def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
     current_metrics = {'full_loss': []}
-    apply_jit = jax.jit(lambda feats, rng: model.module.apply(
-        variables, feats, train=False, rngs={'recurrent_init': rng}))
+
+    # forward + loss fused under ONE jit: the composed loss has hundreds of
+    # ops (canonicalization, quality metrics, stitch decode loops) — eager
+    # evaluation would mean per-op dispatches
+    @jax.jit
+    def eval_batch(feats, gt, rng):
+        preds = model.module.apply(variables, feats, train=False,
+                                   rngs={'recurrent_init': rng})
+        full_loss, loss_dict, _ = model.loss(preds, gt)
+        return full_loss, loss_dict
 
     loader_iter = iter(loader)
     batch_idx = 0
@@ -57,13 +65,12 @@ def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
             continue
         batch_idx += 1
         rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), batch_idx)
-        preds = apply_jit(jnp.asarray(batch['features']), rng)
         gt = batch['ground_truth']
         if not isinstance(gt, dict) and (gt is None or np.asarray(gt).size == 0):
             gt = batch['features']  # reconstruction fallback
         gt = jax.tree_util.tree_map(jnp.asarray, gt)
 
-        full_loss, loss_dict, _ = model.loss(preds, gt, names=batch.get('name'))
+        full_loss, loss_dict = eval_batch(jnp.asarray(batch['features']), gt, rng)
         current_metrics['full_loss'].append(float(full_loss))
         for key, value in loss_dict.items():
             scalar = float(np.asarray(value)) if np.asarray(value).ndim == 0 else None

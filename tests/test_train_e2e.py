@@ -99,6 +99,11 @@ def test_prediction_roundtrip(trained, tmp_path):
         tmp_path, predict_fn, trainer.datawrapper, nick='smoke', sections=['test'])
     spec_files = list(pred_path.rglob('*_predicted__specification.json'))
     assert len(spec_files) >= 1  # some predictions may fail to decode at random init
+    # predictions keep ORIGINAL folder names so they can serve as a dataset
+    # root for the stitch model (reference: experiment.py:245 orig_folder_names)
+    folders = {p.name for p in (pred_path / 'test').iterdir() if p.is_dir()}
+    assert folders <= {'tee_synth_300', 'skirt_synth_300', 'jumpsuit_synth_300'}
+    assert folders
 
 
 def test_resume_from_checkpoint(trained, synthetic_dataset_root):
