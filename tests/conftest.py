@@ -5,13 +5,23 @@ single-chip TPU is exercised by bench.py / __graft_entry__.py instead.
 """
 import os
 
-# JAX_PLATFORMS alone is not honored when the axon TPU plugin is installed;
-# JAX_PLATFORM_NAME forces the backend reliably.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-os.environ.setdefault('JAX_PLATFORM_NAME', 'cpu')
+# Force the CPU backend. Env vars alone are not enough under pytest: a
+# sitecustomize may import jax (freezing env-derived config) before this
+# conftest runs, so also override the live jax config — safe as long as no
+# backend has been *initialized* yet.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['JAX_PLATFORM_NAME'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+
+try:
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_platform_name', 'cpu')
+except Exception:  # config name drift across jax versions
+    pass
 
 import numpy as np
 import pytest
