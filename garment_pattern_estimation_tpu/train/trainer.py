@@ -235,6 +235,11 @@ class Trainer:
             train_step = self._train_step_fn(model, tx, phase)
             last_loss = np.nan
 
+            # async stepping: never sync inside the batch loop — a per-step
+            # float(loss) would serialize host dispatch with device compute
+            # (the reference logs per batch too, but its torch calls block
+            # anyway; here pipelining is the point of jax async dispatch)
+            pending = []
             for batch_i, batch in enumerate(train_loader):
                 step_start = time.perf_counter()
                 self._maybe_profile(step_count)
@@ -244,23 +249,29 @@ class Trainer:
                     params, batch_stats, opt_state, placed, rng)
                 step_count += 1
                 log_step += 1
-                last_loss = float(loss)  # device sync: completes the step
+                pending.append((log_step, epoch, batch_i, step_count, loss,
+                                loss_dict, time.perf_counter() - step_start))
 
-                log_record = {k: _scalar(v) for k, v in loss_dict.items()}
-                log_record.update(epoch=epoch, batch=batch_i, loss=last_loss,
-                                  learning_rate=float(self.schedule(step_count)),
-                                  step_time=time.perf_counter() - step_start)
-                self.experiment.log(log_record, step=log_step)
+            # one sync per epoch: materialize all step metrics together
+            fetched = jax.device_get([(p[4], p[5]) for p in pending])
+            for (lstep, ep, bi, sc, _, _, dispatch_time), (loss_v, ld) in zip(
+                    pending, fetched):
+                last_loss = float(loss_v)
+                log_record = {k: _scalar(v) for k, v in ld.items()}
+                log_record.update(epoch=ep, batch=bi, loss=last_loss,
+                                  learning_rate=float(self.schedule(sc)),
+                                  step_time=dispatch_time)
+                self.experiment.log(log_record, step=lstep)
 
-            # --- validation pass ---
+            # --- validation pass (sync once at the end) ---
             eval_step = self._eval_step_fn(model, phase)
             valid_losses = []
             for batch in valid_loader:
                 placed = self._place_batch(batch)
                 rng = jax.random.fold_in(self._root_key, 2 ** 20 + epoch)
                 vloss, _ = eval_step(params, batch_stats, placed, rng)
-                valid_losses.append(float(vloss))
-            valid_loss = float(np.mean(valid_losses))
+                valid_losses.append(vloss)
+            valid_loss = float(np.mean(jax.device_get(valid_losses)))
 
             # loss structure updated this epoch? -> reset 'best'
             structure_update = (
