@@ -8,8 +8,14 @@ def enable_compilation_cache(cache_dir=None):
     through a remote compile service can take minutes; the cache makes every
     later process start instant."""
     import jax
-    cache_dir = cache_dir or os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                                            os.path.expanduser('~/.cache/jax_gpe'))
+    if cache_dir is None:
+        base = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                              os.path.expanduser('~/.cache/jax_gpe'))
+        # separate caches per platform: a CPU AOT blob compiled for a remote
+        # host's machine features can SIGILL when loaded on a different CPU
+        platform = os.environ.get('JAX_PLATFORM_NAME') \
+            or os.environ.get('JAX_PLATFORMS') or 'default'
+        cache_dir = os.path.join(base, platform.replace(',', '_'))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     try:
