@@ -46,6 +46,10 @@ class BaseDataset:
         self.datapoints_names = []
         self.dataset_start_ids = []
         for data_folder in self.data_folders:
+            if not (self.root_path / data_folder).is_dir():
+                raise FileNotFoundError(
+                    f'{self.__class__.__name__}::Error::data folder '
+                    f'<{self.root_path / data_folder}> does not exist')
             _, dirs, _ = next(os.walk(self.root_path / data_folder))
             names = [data_folder + '/' + name for name in sorted(dirs)]
             self.dataset_start_ids.append((data_folder, len(self.datapoints_names)))
