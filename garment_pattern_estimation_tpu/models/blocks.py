@@ -21,6 +21,7 @@ import flax.linen as nn
 
 from ..ops.knn import knn as knn_search, pairwise_sq_dists
 from ..ops.pooling import GLOBAL_POOLS, gather_neighbors
+from ..ops.edgeconv import fold_mlp_bn, fused_edgeconv, fused_edgeconv_supported
 
 
 def kaiming_normal_torch(key, shape, dtype=jnp.float32):
@@ -63,7 +64,12 @@ class MLP(nn.Module):
 
 class EdgeConv(nn.Module):
     """One dynamic EdgeConv layer: kNN graph from *current* features, edge
-    MLP on [x_i ; x_j - x_i], max (or mean/sum) aggregation over neighbors."""
+    MLP on [x_i ; x_j - x_i], max (or mean/sum) aggregation over neighbors.
+
+    Eval forward on TPU routes through the fully fused Pallas kernel
+    (ops/edgeconv.py: distances + top-k + one-hot gather + folded-BN MLP +
+    max, all in VMEM); training keeps the unfused path (batch BN statistics
+    + gradients)."""
     mlp_features: Sequence[int]
     k: int = 5
     aggr: str = 'max'
@@ -73,6 +79,21 @@ class EdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, N, C = x.shape
+        mlp = MLP(self.mlp_features, compute_dtype=self.compute_dtype,
+                  name='MLP_0')
+
+        pallas_on = self.use_pallas if self.use_pallas is not None \
+            else jax.default_backend() == 'tpu'
+        if (not train and not self.is_initializing() and pallas_on
+                and self.aggr == 'max' and fused_edgeconv_supported(N, C)
+                and self.has_variable('batch_stats', 'MLP_0')):
+            folded = jax.lax.stop_gradient(
+                fold_mlp_bn(self.get_variable('params', 'MLP_0'),
+                            self.get_variable('batch_stats', 'MLP_0')))
+            return fused_edgeconv(
+                jax.lax.stop_gradient(x), folded, k=self.k,
+                interpret=jax.default_backend() != 'tpu')
+
         # kNN stays f32: near-tie neighbor ranking is precision-sensitive
         idx = knn_search(jax.lax.stop_gradient(x).astype(jnp.float32), self.k,
                          use_pallas=self.use_pallas)
@@ -81,7 +102,7 @@ class EdgeConv(nn.Module):
         edge_features = jnp.concatenate([center, neighbors - center], axis=-1)
 
         flat = edge_features.reshape(-1, 2 * C)
-        out = MLP(self.mlp_features, compute_dtype=self.compute_dtype)(flat, train=train)
+        out = mlp(flat, train=train)
         out = out.reshape(B, N, self.k, -1)
 
         if self.aggr == 'max':

@@ -1,0 +1,249 @@
+"""Fused dynamic-EdgeConv TPU kernel: kNN + neighbor gather + edge MLP + max.
+
+The reference's DynamicEdgeConv (torch-geometric, nn/net_blocks.py:124-135)
+is three HBM-bound stages: a CUDA kNN, a (B, N, k, C) neighbor gather, and an
+edge MLP + max aggregation. A direct XLA translation pays for the gather
+twice — hundreds of MB of HBM for the (B, N, k, C) intermediate plus random
+-access reads. This kernel fuses the whole layer per (batch, query-tile)
+grid step in VMEM:
+
+  1. squared distances for a TM-row query tile against all keys (MXU, f32);
+  2. top-k extraction on packed ``(distance_bits | column)`` int32 values —
+     one cross-lane min per neighbor slot (ascending distance, ties to the
+     lower index; distance quantized to its top 21 mantissa-exponent bits);
+  3. per-slot neighbor gather as a one-hot matmul against the bf16 key tile
+     (MXU) — the (B, N, k, C) intermediate never exists;
+  4. the edge MLP on [x_i ; x_j - x_i] with eval-mode BatchNorm folded into
+     the weights (Dense -> ReLU -> BN ordering, nn/net_blocks.py:43-47),
+     bf16 matmuls with f32 accumulation;
+  5. running max over the k neighbor slots.
+
+Inference/eval only: training needs batch BN statistics over all edges and
+gradients, which stay on the unfused XLA path (models/blocks.py::EdgeConv).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_IDX_BITS = 11                    # supports N_pad <= 2048 key columns
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_INT_MAX = jnp.iinfo(jnp.int32).max
+_MAX_N_PAD = 1 << _IDX_BITS       # also the VMEM budget bound (~8 MB/step)
+_GHOST = 1e15                     # padded keys: pushed out of every top-k
+
+
+def fold_mlp_bn(mlp_params, mlp_stats, eps=1e-5):
+    """Fold eval-mode BatchNorm affines of a Dense->ReLU->BN stack into the
+    *next* layer's weights.
+
+    With z_l = h @ W_l + b_l and BN(relu(z_l)) = relu(z_l) * a_l + d_l
+    (a = scale/sqrt(var+eps), d = bias - mean*a), the BN of layer l folds as
+    W'_{l+1} = a_l[:, None] * W_{l+1}, b'_{l+1} = b_{l+1} + d_l @ W_{l+1}.
+    Returns ([(W, b)] per layer, (a, d) of the final layer)."""
+    n_layers = sum(1 for name in mlp_params if name.startswith('Dense_'))
+    layers = []
+    a_prev = d_prev = None
+    a = d = None
+    for i in range(n_layers):
+        W = jnp.asarray(mlp_params[f'Dense_{i}']['kernel'], jnp.float32)
+        b = jnp.asarray(mlp_params[f'Dense_{i}']['bias'], jnp.float32)
+        if a_prev is not None:
+            b = b + d_prev @ W
+            W = a_prev[:, None] * W
+        layers.append((W, b))
+        bn = mlp_params[f'BatchNorm_{i}']
+        st = mlp_stats[f'BatchNorm_{i}']
+        a = jnp.asarray(bn['scale'], jnp.float32) \
+            * jax.lax.rsqrt(jnp.asarray(st['var'], jnp.float32) + eps)
+        d = jnp.asarray(bn['bias'], jnp.float32) \
+            - jnp.asarray(st['mean'], jnp.float32) * a
+        a_prev, d_prev = a, d
+    return layers, (a, d)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def fused_edgeconv_supported(n_points, n_channels):
+    """The fused kernel keys/queries/distances must fit VMEM: the published
+    configs (N=2000, C<=150) do; the 10k-point stress config streams through
+    the standalone kNN kernel instead."""
+    return _round_up(n_points, 128) <= _MAX_N_PAD and n_channels <= 256
+
+
+def _pad_edge_mlp(layers, affine, c, c_pad):
+    """Zero-pad folded weights to lane-aligned shapes. The first layer's
+    input is the concatenated edge feature [x_i ; x_j - x_i]: its weight rows
+    are placed at [0:c] and [c_pad:c_pad+c] of a (2*c_pad, H) matrix so the
+    kernel can concatenate padded tiles directly."""
+    (w0, b0), rest = layers[0], layers[1:]
+    h0 = _round_up(w0.shape[1], 128)
+    w0_pad = jnp.zeros((2 * c_pad, h0), jnp.float32)
+    w0_pad = w0_pad.at[:c, :w0.shape[1]].set(w0[:c])
+    w0_pad = w0_pad.at[c_pad:c_pad + c, :w0.shape[1]].set(w0[c:])
+    padded = [(w0_pad, _pad_vec(b0, h0))]
+    for w, b in rest:
+        in_pad = _round_up(w.shape[0], 128)
+        out_pad = _round_up(w.shape[1], 128)
+        w_pad = jnp.zeros((in_pad, out_pad), jnp.float32)
+        w_pad = w_pad.at[:w.shape[0], :w.shape[1]].set(w)
+        padded.append((w_pad, _pad_vec(b, out_pad)))
+    a, dd = affine
+    out_pad = padded[-1][0].shape[1]
+    return padded, (_pad_vec(a, out_pad), _pad_vec(dd, out_pad))
+
+
+def _pad_vec(v, size):
+    return jnp.zeros((1, size), jnp.float32).at[0, :v.shape[0]].set(v)
+
+
+def _fused_kernel(xf_ref, xb_ref, q_ref, *refs, k, n_layers, mlp_dtype):
+    """One grid step: EdgeConv output for TM query rows of one batch elem."""
+    layer_refs = refs[:2 * n_layers]
+    a_ref, d_ref, o_ref = refs[-3], refs[-2], refs[-1]
+
+    keys = xf_ref[0]                                         # (N_pad, C_pad)
+    keys_lp = xb_ref[0]                                      # low-precision
+    q = q_ref[0]                                             # (TM, C_pad)
+
+    # -- distances (f32, MXU) --
+    q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
+    k_norm = jnp.sum(keys * keys, axis=-1)
+    cross = jax.lax.dot_general(
+        q, keys, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dists = jnp.maximum(q_norm + k_norm[None, :] - 2.0 * cross, 0.0)
+
+    # -- pack (distance | column index): non-negative f32 bits are monotone,
+    # so one int min per slot yields the nearest remaining neighbor with
+    # ties broken towards the lower column --
+    col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+    bits = pltpu.bitcast(dists, jnp.int32)
+    packed = (bits & ~_IDX_MASK) | col
+
+    q_lp = q.astype(mlp_dtype)
+    out = None
+    for _slot in range(k):                                    # k is tiny: unrolled
+        nearest = jnp.min(packed, axis=1)                     # (TM,)
+        hit = packed == nearest[:, None]                      # one-hot (TM, N_pad)
+        packed = jnp.where(hit, _INT_MAX, packed)
+
+        nbr = jax.lax.dot_general(                            # gather via MXU
+            hit.astype(mlp_dtype), keys_lp,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(mlp_dtype)
+
+        h = jnp.concatenate([q_lp, nbr - q_lp], axis=1)       # (TM, 2*C_pad)
+        for layer in range(n_layers):
+            w_ref, b_ref = layer_refs[2 * layer], layer_refs[2 * layer + 1]
+            z = jax.lax.dot_general(
+                h, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b_ref[:]
+            h = jnp.maximum(z, 0.0)
+            if layer + 1 < n_layers:
+                h = h.astype(mlp_dtype)
+        o = h * a_ref[:] + d_ref[:]                           # f32 (TM, H_out)
+        out = o if out is None else jnp.maximum(out, o)
+    o_ref[0] = out
+
+
+def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.bfloat16, interpret=False):
+    """x (B, N, C), folded edge-MLP weights -> EdgeConv features (B, N, out).
+
+    `folded` is the output of `fold_mlp_bn` on the layer's Dense/BN params.
+    Neighbor selection matches `ops.knn` semantics (self included, squared
+    euclidean, ties to the lower index) up to the packed-distance
+    quantization (top 21 of 23 mantissa bits)."""
+    layers, affine = folded
+    B, N, C = x.shape
+    k = min(k, N)
+    c_pad = _round_up(C, 128)
+    n_pad = _round_up(N, 128)
+    if n_pad > _MAX_N_PAD:
+        raise ValueError(f'fused_edgeconv::N={N} exceeds the VMEM-resident '
+                         f'bound ({_MAX_N_PAD}); use the streaming kNN path')
+    tile_m = 256 if n_pad % 256 == 0 else 128
+
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - N), (0, c_pad - C)))
+    if n_pad > N:
+        xp = xp.at[:, N:, 0].set(_GHOST)
+    x_lp = xp.astype(mlp_dtype)
+
+    padded_layers, (a, d) = _pad_edge_mlp(layers, affine, C, c_pad)
+    h_out = a.shape[1]
+    n_layers = len(padded_layers)
+
+    weight_inputs, weight_specs = [], []
+    for w, b in padded_layers:
+        weight_inputs += [w.astype(mlp_dtype), b]
+        weight_specs += [
+            pl.BlockSpec(w.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    kernel = functools.partial(_fused_kernel, k=k, n_layers=n_layers,
+                               mlp_dtype=mlp_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_pad // tile_m),   # query tiles iterate fastest: the key
+                                     # block (b, 0, 0) is fetched once per b
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, c_pad), lambda bb, ii: (bb, ii, 0),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+            pl.BlockSpec(a.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(d.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_m, h_out), lambda bb, ii: (bb, ii, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, h_out), jnp.float32),
+        interpret=interpret,
+    )(xp, x_lp, xp, *weight_inputs, a, d)
+
+    out_features = layers[-1][0].shape[1]
+    return out[:, :N, :out_features]
+
+
+def fused_edgeconv_reference(x, folded, k, mlp_dtype=jnp.bfloat16):
+    """Pure-jnp oracle replicating the kernel's exact numerics (packed
+    quantized neighbor selection, low-precision gather/MLP, folded BN) for
+    parity tests against interpret/TPU runs."""
+    layers, (a, d) = folded
+    B, N, C = x.shape
+    k = min(k, N)
+    xf = x.astype(jnp.float32)
+
+    q_norm = jnp.sum(xf * xf, axis=-1)
+    cross = jnp.einsum('bmc,bnc->bmn', xf, xf, preferred_element_type=jnp.float32)
+    dists = jnp.maximum(q_norm[:, :, None] + q_norm[:, None, :] - 2 * cross, 0.0)
+    bits = jax.lax.bitcast_convert_type(dists, jnp.int32)
+    col = jnp.arange(N, dtype=jnp.int32)
+    packed = (bits & ~_IDX_MASK) | col[None, None, :]
+    packed_sorted = jnp.sort(packed, axis=-1)[..., :k]
+    idx = packed_sorted & _IDX_MASK                              # (B, N, k)
+
+    x_lp = xf.astype(mlp_dtype)
+    nbr = jnp.take_along_axis(x_lp[:, None, :, :],
+                              idx[..., None], axis=2)            # (B, N, k, C)
+    # the kernel gathers via a one-hot matmul with f32 accumulation, then
+    # casts back: identical to a direct low-precision gather
+    center = jnp.broadcast_to(x_lp[:, :, None, :], nbr.shape)
+    h = jnp.concatenate([center, nbr - center], axis=-1)
+    for i, (w, b) in enumerate(layers):
+        z = jnp.einsum('bnkc,ch->bnkh', h.astype(mlp_dtype), w.astype(mlp_dtype),
+                       preferred_element_type=jnp.float32) + b
+        h = jnp.maximum(z, 0.0)
+        if i + 1 < len(layers):
+            h = h.astype(mlp_dtype)
+    out = h * a + d
+    return jnp.max(out, axis=2)

@@ -66,9 +66,12 @@ class Trainer:
         lr = self.setup['learning_rate']
         if 'lr_scheduling' in self.setup and self.setup['lr_scheduling'] is not None:
             # torch OneCycleLR defaults: pct_start=0.3, cos anneal,
-            # div_factor=25, final_div_factor=1e4
+            # div_factor=25, final_div_factor=1e4.
+            # optax's onecycle emits NaN for every step when a phase rounds
+            # to zero length (pct_start * steps < 1), so clamp tiny runs
+            total_steps = self.setup['epochs'] * max(steps_per_epoch, 1)
             self.schedule = optax.cosine_onecycle_schedule(
-                transition_steps=self.setup['epochs'] * steps_per_epoch,
+                transition_steps=max(total_steps, 4),
                 peak_value=lr, pct_start=0.3, div_factor=25.0,
                 final_div_factor=1e4)
         else:
@@ -254,11 +257,14 @@ class Trainer:
 
             # one sync per epoch: materialize all step metrics together
             fetched = jax.device_get([(p[4], p[5]) for p in pending])
+            epoch_losses = [float(loss_v) for loss_v, _ in fetched]
+            # a NaN in ANY batch (not just the last) must trip early stopping
+            last_loss = np.nan if np.any(np.isnan(epoch_losses)) \
+                else (epoch_losses[-1] if epoch_losses else np.nan)
             for (lstep, ep, bi, sc, _, _, dispatch_time), (loss_v, ld) in zip(
                     pending, fetched):
-                last_loss = float(loss_v)
                 log_record = {k: _scalar(v) for k, v in ld.items()}
-                log_record.update(epoch=ep, batch=bi, loss=last_loss,
+                log_record.update(epoch=ep, batch=bi, loss=float(loss_v),
                                   learning_rate=float(self.schedule(sc)),
                                   step_time=dispatch_time)
                 self.experiment.log(log_record, step=lstep)

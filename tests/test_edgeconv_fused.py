@@ -1,0 +1,95 @@
+"""Fused EdgeConv kernel: interpret-mode parity vs the jnp oracle and vs the
+unfused module path (reference semantics: nn/net_blocks.py:124-135)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from garment_pattern_estimation_tpu.ops.edgeconv import (
+    fold_mlp_bn, fused_edgeconv, fused_edgeconv_reference)
+from garment_pattern_estimation_tpu.models.blocks import EdgeConv
+
+
+def _synthetic_mlp(rng, sizes):
+    """Flax-layout MLP params/stats (Dense_i / BatchNorm_i) with non-trivial
+    BN statistics so the folding is actually exercised."""
+    params, stats = {}, {}
+    for i, (si, so) in enumerate(sizes):
+        params[f'Dense_{i}'] = {
+            'kernel': jnp.asarray(rng.normal(size=(si, so)).astype(np.float32) * 0.3),
+            'bias': jnp.asarray(rng.normal(size=(so,)).astype(np.float32) * 0.1)}
+        params[f'BatchNorm_{i}'] = {
+            'scale': jnp.asarray(rng.uniform(0.5, 1.5, so).astype(np.float32)),
+            'bias': jnp.asarray(rng.normal(size=(so,)).astype(np.float32) * 0.1)}
+        stats[f'BatchNorm_{i}'] = {
+            'mean': jnp.asarray(rng.normal(size=(so,)).astype(np.float32) * 0.1),
+            'var': jnp.asarray(rng.uniform(0.5, 2.0, so).astype(np.float32))}
+    return params, stats
+
+
+def test_fold_mlp_bn_matches_plain_stack(rng):
+    sizes = [(12, 24), (24, 24), (24, 16)]
+    params, stats = _synthetic_mlp(rng, sizes)
+    layers, (a, d) = fold_mlp_bn(params, stats)
+
+    h = jnp.asarray(rng.normal(size=(7, 12)).astype(np.float32))
+    folded = h
+    for w, b in layers:
+        folded = jnp.maximum(folded @ w + b, 0)
+    folded = folded * a + d
+
+    plain = h
+    for i in range(3):
+        z = plain @ params[f'Dense_{i}']['kernel'] + params[f'Dense_{i}']['bias']
+        r = jnp.maximum(z, 0)
+        bn, st = params[f'BatchNorm_{i}'], stats[f'BatchNorm_{i}']
+        plain = (r - st['mean']) / jnp.sqrt(st['var'] + 1e-5) * bn['scale'] + bn['bias']
+
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('n_points', [100, 200])
+def test_fused_kernel_matches_oracle_interpret(rng, n_points):
+    C = 6
+    params, stats = _synthetic_mlp(rng, [(2 * C, 24), (24, 24), (24, 16)])
+    folded = fold_mlp_bn(params, stats)
+    x = jnp.asarray(rng.normal(size=(2, n_points, C)).astype(np.float32))
+
+    ref = fused_edgeconv_reference(x, folded, k=5)
+    out = fused_edgeconv(x, folded, k=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_module_path_matches_unfused(rng):
+    """Module-level: eval forward through the fused kernel (interpret mode on
+    CPU) vs the unfused gather+MLP path; bf16 gather/MLP tolerance."""
+    x = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32))
+    fused = EdgeConv([24, 24, 16], k=5, use_pallas=True)
+    plain = EdgeConv([24, 24, 16], k=5, use_pallas=False)
+    variables = plain.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+
+    out_plain = plain.apply(variables, x, train=False)
+    out_fused = fused.apply(variables, x, train=False)
+    assert out_fused.shape == out_plain.shape
+    scale = float(jnp.max(jnp.abs(out_plain)))
+    assert float(jnp.max(jnp.abs(out_plain - out_fused))) < 0.02 * scale
+
+    # training path must stay on the unfused (BN-stat-updating) route
+    out_train, mutated = plain.apply(variables, x, train=True,
+                                     mutable=['batch_stats'])
+    assert 'batch_stats' in mutated
+
+
+def test_onecycle_schedule_never_nan():
+    """Regression: optax's onecycle emits NaN for every step when
+    transition_steps <= 3 (tiny-run configs); the trainer clamps it."""
+    from garment_pattern_estimation_tpu.train.trainer import Trainer
+
+    trainer = Trainer.__new__(Trainer)
+    trainer.setup = {'learning_rate': 2e-3, 'epochs': 2,
+                     'lr_scheduling': {'mode': '1cyclic'}, 'optimizer': 'Adam'}
+    trainer._make_optimizer(steps_per_epoch=1)
+    values = [float(trainer.schedule(i)) for i in range(6)]
+    assert all(np.isfinite(values)), values
