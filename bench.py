@@ -1,12 +1,18 @@
-"""Benchmark: flagship-model inference throughput (point clouds/sec/chip).
+"""Benchmark: flagship-model throughput on the real chip.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
-`vs_baseline` compares against a single-core CPU run of the same model
-(the reference implementation is CPU/GPU torch; BASELINE.json's north star is
-">=20x CPU-reference point-clouds/sec/chip at batch 64"). The CPU number is
-measured once in a subprocess (JAX_PLATFORMS=cpu) and cached in
+The headline metric is inference point-clouds/sec/chip at the published
+scale (att model, batch 64, 2000 points). `vs_baseline` divides it by the
+**torch reference model running on CPU** (BASELINE.json north star:
+">=20x CPU-reference clouds/sec/chip"; the reference implementation is
+torch — experiment/torch_reference.py replicates its architecture exactly).
+`extras` carries the training-step time at the published batch size (30,
+composed loss + quality metrics, reference recipe: configs/att.yaml) and the
+stress-config kNN (batch 128 x 10k points, HBM-streaming kernel).
+
+The CPU baseline runs once in a subprocess and is cached in
 .bench_cpu_baseline.json.
 """
 import json
@@ -18,11 +24,11 @@ from pathlib import Path
 
 BATCH = 64
 NUM_POINTS = 2000
-CPU_BATCH = 4          # CPU is ~3 orders slower; throughput is per-cloud
+CPU_BATCH = 2
 CACHE = Path(__file__).parent / '.bench_cpu_baseline.json'
 
 
-def measure(batch, num_points, warmup=1, iters=5):
+def measure_inference(batch, num_points, warmup=1, iters=5):
     """Per-batch forward time with the iteration loop ON DEVICE (one host
     dispatch), so tunnel/dispatch latency doesn't pollute the number."""
     from garment_pattern_estimation_tpu.utils import enable_compilation_cache
@@ -50,37 +56,166 @@ def measure(batch, num_points, warmup=1, iters=5):
     return batch / elapsed, elapsed
 
 
-def cpu_baseline():
+def measure_train_step(batch=30, num_points=2000, steps=20):
+    """Published training recipe step time: att model at full scale, composed
+    loss with quality metrics (configs/att.yaml), Adam, donated buffers.
+    Steps are dispatched back-to-back (async) and synced once at the end —
+    how the trainer actually runs (one sync per epoch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    sys.path.insert(0, str(Path(__file__).parent))
+    from __graft_entry__ import DATA_CONFIG, NN_CONFIG
+    from garment_pattern_estimation_tpu.models import build_model
+
+    loss_config = {   # configs/att.yaml loss section, pre-stitch phase
+        'loss_components': ['shape', 'loop', 'rotation', 'translation'],
+        'quality_components': ['shape', 'discrete', 'rotation', 'translation'],
+        'panel_origin_invariant_loss': False,
+        'panel_order_inariant_loss': False,
+    }
+    model = build_model('GarmentSegmentPattern3D', DATA_CONFIG, NN_CONFIG,
+                        loss_config)
+
+    rng = np.random.default_rng(0)
+    P, L = DATA_CONFIG['max_pattern_len'], DATA_CONFIG['max_panel_len']
+    batch_data = {
+        'features': jnp.asarray(
+            rng.normal(size=(batch, num_points, 3)).astype(np.float32)),
+        'ground_truth': {
+            'outlines': jnp.asarray(rng.normal(size=(batch, P, L, 4)).astype(np.float32)),
+            'rotations': jnp.asarray(rng.normal(size=(batch, P, 4)).astype(np.float32)),
+            'translations': jnp.asarray(rng.normal(size=(batch, P, 3)).astype(np.float32)),
+            'num_edges': jnp.full((batch, P), 6, jnp.int32),
+            'num_panels': jnp.full((batch,), P, jnp.int32),
+            'empty_panels_mask': jnp.zeros((batch, P), bool),
+            'stitches': jnp.zeros((batch, 2, 24), jnp.int32),
+            'num_stitches': jnp.ones((batch,), jnp.int32),
+            'free_edges_mask': jnp.ones((batch, P, L), bool),
+            'stitch_tags': jnp.asarray(rng.normal(size=(batch, P, L, 3)).astype(np.float32)),
+        },
+    }
+
+    variables = model.init_variables(jax.random.PRNGKey(0),
+                                     batch_data['features'][:2])
+    tx = optax.adam(2e-3)
+    params, batch_stats = variables['params'], variables['batch_stats']
+    opt_state = tx.init(params)
+
+    def train_step(params, batch_stats, opt_state, batch, rng):
+        def loss_fn(p):
+            preds, mutated = model.module.apply(
+                {'params': p, 'batch_stats': batch_stats},
+                batch['features'], train=True, mutable=['batch_stats'],
+                rngs={'recurrent_init': rng, 'dropout': rng})
+            loss, loss_dict, _ = model.loss(
+                preds, batch['ground_truth'], epoch=0, rng=rng)
+            return loss, (loss_dict, mutated['batch_stats'])
+
+        (loss, (_, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_stats,
+                new_opt_state, loss)
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    key = jax.random.PRNGKey(1)
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, batch_data, key)  # compile
+    jax.block_until_ready(loss)
+
+    start = time.perf_counter()
+    for i in range(steps):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, batch_data,
+            jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    step_ms = (time.perf_counter() - start) / steps * 1e3
+    assert np.isfinite(float(loss)), 'bench::training step produced NaN'
+    return step_ms
+
+
+def measure_stress_knn(batch=128, num_points=10000, k=5, iters=3):
+    """Stress config: kNN over 128 clouds x 10k points — too large for the
+    VMEM-resident kernels, exercises the HBM-streaming double-buffered DMA
+    path (ops/knn.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from garment_pattern_estimation_tpu.ops.knn import knn_pallas
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(batch, num_points, 3)).astype(np.float32))
+
+    @jax.jit
+    def run(x):
+        def step(_, acc):
+            idx = knn_pallas(x + acc * 1e-12, k)
+            return jnp.float32(idx.sum()) * 1e-12
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    np.asarray(run(pts))  # compile + sync
+    start = time.perf_counter()
+    np.asarray(run(pts))
+    return (time.perf_counter() - start) / iters * 1e3
+
+
+def torch_cpu_baseline():
+    """clouds/s of the torch reference model (published att scale) on CPU."""
     if CACHE.exists():
-        return json.loads(CACHE.read_text())['clouds_per_sec']
-    # JAX_PLATFORM_NAME: JAX_PLATFORMS alone is ignored when the axon TPU
-    # plugin is present
-    env = dict(os.environ, JAX_PLATFORMS='cpu', JAX_PLATFORM_NAME='cpu')
-    code = (
-        'import json, sys; sys.path.insert(0, "."); '
-        'from bench import measure; '
-        f'tput, t = measure({CPU_BATCH}, {NUM_POINTS}, warmup=1, iters=2); '
-        'print("CPU_RESULT", json.dumps({"clouds_per_sec": tput}))'
-    )
-    result = subprocess.run([sys.executable, '-c', code], env=env,
+        payload = json.loads(CACHE.read_text())
+        if 'torch_clouds_per_sec' in payload:
+            return payload['torch_clouds_per_sec']
+    code = f'''
+import json, time
+import numpy as np
+import torch
+torch.manual_seed(0)
+from garment_pattern_estimation_tpu.experiment.torch_reference import (
+    TorchGarmentSegmentPattern3D)
+model = TorchGarmentSegmentPattern3D().eval()   # published att.yaml scale
+x = torch.from_numpy(np.random.default_rng(0)
+                     .normal(size=({CPU_BATCH}, {NUM_POINTS}, 3))
+                     .astype(np.float32))
+with torch.no_grad():
+    model(x)                                    # warmup
+    start = time.perf_counter()
+    iters = 2
+    for _ in range(iters):
+        model(x)
+    dt = (time.perf_counter() - start) / iters
+print("CPU_RESULT", json.dumps({{"torch_clouds_per_sec": {CPU_BATCH} / dt}}))
+'''
+    result = subprocess.run([sys.executable, '-c', code], env=dict(os.environ),
                             capture_output=True, text=True, timeout=3600,
                             cwd=str(Path(__file__).parent))
     for line in result.stdout.splitlines():
         if line.startswith('CPU_RESULT'):
             payload = json.loads(line.split(' ', 1)[1])
             CACHE.write_text(json.dumps(payload))
-            return payload['clouds_per_sec']
+            return payload['torch_clouds_per_sec']
     print(result.stdout[-2000:], file=sys.stderr)
     print(result.stderr[-2000:], file=sys.stderr)
-    raise RuntimeError('bench::CPU baseline measurement failed')
+    raise RuntimeError('bench::torch CPU baseline measurement failed')
 
 
 def main():
-    tput, step_time = measure(BATCH, NUM_POINTS)
+    tput, _ = measure_inference(BATCH, NUM_POINTS)
+    extras = {}
     try:
-        baseline = cpu_baseline()
+        extras['train_step_ms_batch30'] = round(measure_train_step(), 2)
+    except Exception as e:  # noqa: BLE001 — report, don't sink the headline
+        print(f'bench::warning::train-step bench failed ({e})', file=sys.stderr)
+    try:
+        extras['stress_knn_128x10k_ms'] = round(measure_stress_knn(), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::stress bench failed ({e})', file=sys.stderr)
+    try:
+        baseline = torch_cpu_baseline()
+        extras['torch_reference_cpu_clouds_per_sec'] = round(baseline, 3)
         vs_baseline = tput / baseline
-    except Exception as e:
+    except Exception as e:  # noqa: BLE001
         print(f'bench::warning::no CPU baseline ({e})', file=sys.stderr)
         vs_baseline = None
     print(json.dumps({
@@ -89,6 +224,7 @@ def main():
         'value': round(tput, 2),
         'unit': 'clouds/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+        'extras': extras,
     }))
 
 

@@ -91,7 +91,7 @@ def main(argv=None):
                                         log='Stitch metrics per dataset')
 
         if args.predict:
-            predict_logits = make_predict_fn(stitch_model, stitch_variables)
+            predict_logits = make_predict_fn(stitch_model, stitch_variables, bucket_pairs=True)
             stitch_experiment.prediction(
                 Path(system_info['output']), predict_logits, stitch_wrapper,
                 nick=f'{tag}_pred', sections=['full'], model=predict_logits)

@@ -106,7 +106,7 @@ def main(argv=None):
         _, _, stitch_data_config = stitch_experiment.data_info()
         stitch_model, stitch_variables = stitch_experiment.load_model(
             stitch_data_config)
-        predict_logits = make_predict_fn(stitch_model, stitch_variables)
+        predict_logits = make_predict_fn(stitch_model, stitch_variables, bucket_pairs=True)
         stats = stitch_data_config['standardize']
 
         stitch_dir = saving_path / 'with_stitches'

@@ -414,9 +414,9 @@ class Garment3DPatternFullDataset(GarmentBaseDataset):
     def standardize(self, training=None):
         """Compute (or reuse) standardization stats and install the
         transforms (reference: nn/data/datasets.py:596-654)."""
-        print(f'{self.__class__.__name__}::Using data normalization for features & GT')
+        print(f'{self.__class__.__name__}::standardizing features & GT')
         if 'standardize' in self.config:
-            print(f'{self.__class__.__name__}::Using stats from config')
+            print(f'{self.__class__.__name__}::standardization stats taken from config')
             stats = self.config['standardize']
         elif training is not None:
             samples = [training[i] for i in range(len(training))]
@@ -683,7 +683,7 @@ class GarmentStitchPairsDataset(GarmentBaseDataset):
         self.config.update(element_size=self[0]['features'].shape[-1])
 
     def standardize(self, training=None):
-        print(f'{self.__class__.__name__}::Using data normalization for features')
+        print(f'{self.__class__.__name__}::standardizing features')
         if 'standardize' in self.config:
             stats = self.config['standardize']
         elif training is not None:

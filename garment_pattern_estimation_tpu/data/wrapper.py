@@ -126,7 +126,7 @@ class DatasetWrapper:
         rng = np.random.default_rng(self.split_info['random_seed'])
 
         if self.split_info.get('filename'):
-            print(f'DataWrapper::Loading data split from {self.split_info["filename"]}')
+            print(f'DatasetWrapper::reproducing split from {self.split_info["filename"]}')
             with open(self.split_info['filename'], 'r') as f:
                 split_dict = json.load(f)
             (self.training, self.validation, self.test,
@@ -150,7 +150,7 @@ class DatasetWrapper:
         if self.batch_size is not None:
             self.new_loaders()
 
-        print('DatasetWrapper::Dataset split: {} / {} / {}'.format(
+        print('DatasetWrapper::split sizes (train/valid/test): {} / {} / {}'.format(
             len(self.training) if self.training else None,
             len(self.validation) if self.validation else None,
             len(self.test) if self.test else None))

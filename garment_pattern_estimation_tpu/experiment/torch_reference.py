@@ -1,0 +1,227 @@
+"""Pure-torch replica of the reference shape models, for two purposes:
+
+1. **Honest CPU baseline** for bench.py — BASELINE.json's north star compares
+   against the torch reference running on CPU, not against our own JAX model.
+2. **`.pth` import oracle** — builds checkpoints in the reference's exact
+   state-dict naming scheme (see torch_import.py's name map, verified against
+   models/att/neural_tailor_stitch_model.pth), so `import_shape_model` can be
+   validated end-to-end: synthesize random reference-format weights, replay
+   the forward in torch, assert the imported flax forward matches.
+
+This is an independent re-implementation of the architecture described by
+the reference (nn/nets.py:41-299, nn/net_blocks.py:93-191,363-402): dynamic
+EdgeConv encoder (kNN from current features, edge MLP on [x_i ; x_j - x_i],
+max aggregation), sparsemax point->panel attention, LSTM sequence decoders,
+linear placement head. Deterministic eval semantics: zero initial recurrent
+states (the flax models use zeros whenever no 'recurrent_init' rng is given).
+"""
+from __future__ import annotations
+
+import torch
+import torch.nn as nn
+
+
+def _mlp(sizes):
+    """Reference MLP naming: Sequential of Sequential(Linear, ReLU, BN1d) —
+    state-dict keys `<p>.{i}.0.*` / `<p>.{i}.2.*`."""
+    layers = []
+    for cin, cout in zip(sizes[:-1], sizes[1:]):
+        layers.append(nn.Sequential(nn.Linear(cin, cout), nn.ReLU(),
+                                    nn.BatchNorm1d(cout)))
+    return nn.Sequential(*layers)
+
+
+def sparsemax_torch(logits):
+    """Closed-form sparsemax (projection onto the simplex) over the last axis."""
+    z, _ = torch.sort(logits, dim=-1, descending=True)
+    cumsum = torch.cumsum(z, dim=-1)
+    k = torch.arange(1, logits.shape[-1] + 1, dtype=logits.dtype,
+                     device=logits.device)
+    support = 1.0 + k * z > cumsum
+    k_z = support.sum(dim=-1, keepdim=True).clamp(min=1)
+    tau = (torch.gather(cumsum, -1, k_z - 1) - 1.0) / k_z.to(logits.dtype)
+    return torch.clamp(logits - tau, min=0.0)
+
+
+class _DynamicEdgeConv(nn.Module):
+    """kNN graph rebuilt from current features each call; edge MLP + max."""
+
+    def __init__(self, mlp, k):
+        super().__init__()
+        self.nn = mlp          # attribute name 'nn' -> keys `...nn.{i}...`
+        self.k = k
+
+    def forward(self, x):                      # (B, N, C)
+        B, N, C = x.shape
+        d = torch.cdist(x, x) ** 2
+        idx = torch.topk(d, min(self.k, N), dim=-1, largest=False).indices
+        nbr = torch.gather(
+            x.unsqueeze(1).expand(B, N, N, C), 2,
+            idx.unsqueeze(-1).expand(B, N, idx.shape[-1], C))
+        center = x.unsqueeze(2).expand_as(nbr)
+        edge = torch.cat([center, nbr - center], dim=-1)
+        out = self.nn(edge.reshape(-1, 2 * C)).reshape(B, N, idx.shape[-1], -1)
+        return out.max(dim=2).values
+
+
+class _EdgeConvFeatures(nn.Module):
+    """Reference EdgeConvFeatures: stacked dynamic EdgeConv + optional xyz
+    skip + mean pool + linear head (keys feature_extractor.conv_layers.{i}.nn,
+    feature_extractor.lin)."""
+
+    def __init__(self, out_size, conv_depth=2, k=5, hidden=200,
+                 hidden_depth=2, feature=150, skip_connections=True):
+        super().__init__()
+        self.skip_connections = skip_connections
+        convs = []
+        in_size = 3
+        for _ in range(conv_depth):
+            convs.append(_DynamicEdgeConv(
+                _mlp([2 * in_size] + [hidden] * hidden_depth + [feature]), k))
+            in_size = feature
+        self.conv_layers = nn.ModuleList(convs)
+        self.lin = nn.Linear(feature + (3 if skip_connections else 0), out_size)
+
+    def forward(self, positions, pool_global=True):
+        out = positions
+        for conv in self.conv_layers:
+            out = conv(out)
+        if self.skip_connections:
+            out = torch.cat([out, positions], dim=-1)
+        if pool_global:
+            return self.lin(out.mean(dim=1)), out
+        return None, out
+
+
+class _LSTMDecoder(nn.Module):
+    """Reference LSTMDecoderModule: encoding repeated out_len times as LSTM
+    input, linear head (keys `<p>.lstm.*`, `<p>.lin.*`). Zero init states."""
+
+    def __init__(self, encoding_size, hidden_size, out_elem_size, n_layers,
+                 out_len):
+        super().__init__()
+        self.out_len = out_len
+        self.n_layers = n_layers
+        self.hidden_size = hidden_size
+        self.lstm = nn.LSTM(encoding_size, hidden_size, n_layers,
+                            batch_first=True)
+        self.lin = nn.Linear(hidden_size, out_elem_size)
+
+    def forward(self, encodings):
+        B = encodings.shape[0]
+        dec_input = encodings.unsqueeze(1).repeat(1, self.out_len, 1)
+        h0 = torch.zeros(self.n_layers, B, self.hidden_size)
+        out, _ = self.lstm(dec_input, (h0, h0.clone()))
+        return self.lin(out)
+
+
+class TorchGarmentSegmentPattern3D(nn.Module):
+    """Reference attention ('att') model at arbitrary scale, eval semantics."""
+
+    def __init__(self, max_pattern_len=23, max_panel_len=14, element_size=4,
+                 stitch_tag_dim=3, panel_encoding_size=250,
+                 panel_hidden_size=250, panel_n_layers=3, econv_hidden=200,
+                 econv_hidden_depth=2, econv_feature=150, k_neighbors=5,
+                 conv_depth=2, skip_connections=True):
+        super().__init__()
+        self.max_pattern_len = max_pattern_len
+        self.max_panel_len = max_panel_len
+        self.element_size = element_size
+        self.feature_extractor = _EdgeConvFeatures(
+            panel_encoding_size, conv_depth, k_neighbors, econv_hidden,
+            econv_hidden_depth, econv_feature, skip_connections)
+        att_in = econv_feature + (3 if skip_connections else 0)
+        # Sequential so the MLP lands at `point_segment_mlp.0` like the
+        # reference's MLP+Sparsemax stack
+        self.point_segment_mlp = nn.Sequential(
+            _mlp([att_in, att_in, att_in, max_pattern_len]))
+        self.panel_dec_lin = nn.Linear(att_in, panel_encoding_size)
+        self.panel_decoder = _LSTMDecoder(
+            panel_encoding_size, panel_hidden_size,
+            element_size + stitch_tag_dim + 1, panel_n_layers, max_panel_len)
+        self.placement_decoder = nn.Linear(panel_encoding_size, 7)
+
+    def forward(self, positions):                            # (B, N, 3)
+        B, N, _ = positions.shape
+        _, point_features = self.feature_extractor(positions, pool_global=False)
+        logits = self.point_segment_mlp(
+            point_features.reshape(B * N, -1)).reshape(B, N, -1)
+        weights = sparsemax_torch(logits)                    # (B, N, P)
+        pooled = torch.einsum('bnp,bnf->bpf', weights, point_features) / N
+        panel_encodings = self.panel_dec_lin(pooled)         # (B, P, E)
+
+        flat = panel_encodings.reshape(-1, panel_encodings.shape[-1])
+        panels = self.panel_decoder(flat).reshape(
+            B, self.max_pattern_len, self.max_panel_len, -1)
+        placement = self.placement_decoder(flat)
+        return {
+            'outlines': panels[..., :self.element_size],
+            'stitch_tags': panels[..., self.element_size:-1],
+            'free_edges_mask': panels[..., -1],
+            'rotations': placement[:, :4].reshape(B, self.max_pattern_len, -1),
+            'translations': placement[:, 4:].reshape(B, self.max_pattern_len, -1),
+            'att_weights': weights,
+        }
+
+
+class TorchGarmentFullPattern3D(nn.Module):
+    """Reference baseline model: global encoding -> pattern LSTM -> panel
+    LSTM + placement head."""
+
+    def __init__(self, max_pattern_len=23, max_panel_len=14, element_size=4,
+                 stitch_tag_dim=3, panel_encoding_size=250,
+                 panel_hidden_size=250, panel_n_layers=3,
+                 pattern_encoding_size=250, pattern_hidden_size=250,
+                 pattern_n_layers=2, econv_hidden=200, econv_hidden_depth=2,
+                 econv_feature=150, k_neighbors=5, conv_depth=2,
+                 skip_connections=True):
+        super().__init__()
+        self.max_pattern_len = max_pattern_len
+        self.max_panel_len = max_panel_len
+        self.element_size = element_size
+        self.feature_extractor = _EdgeConvFeatures(
+            pattern_encoding_size, conv_depth, k_neighbors, econv_hidden,
+            econv_hidden_depth, econv_feature, skip_connections)
+        self.pattern_decoder = _LSTMDecoder(
+            pattern_encoding_size, pattern_hidden_size, panel_encoding_size,
+            pattern_n_layers, max_pattern_len)
+        self.panel_decoder = _LSTMDecoder(
+            panel_encoding_size, panel_hidden_size,
+            element_size + stitch_tag_dim + 1, panel_n_layers, max_panel_len)
+        self.placement_decoder = nn.Linear(panel_encoding_size, 7)
+
+    def forward(self, positions):
+        B = positions.shape[0]
+        encoding, _ = self.feature_extractor(positions, pool_global=True)
+        panel_encodings = self.pattern_decoder(encoding)      # (B, P, E)
+        flat = panel_encodings.reshape(-1, panel_encodings.shape[-1])
+        panels = self.panel_decoder(flat).reshape(
+            B, self.max_pattern_len, self.max_panel_len, -1)
+        placement = self.placement_decoder(flat)
+        return {
+            'outlines': panels[..., :self.element_size],
+            'stitch_tags': panels[..., self.element_size:-1],
+            'free_edges_mask': panels[..., -1],
+            'rotations': placement[:, :4].reshape(B, self.max_pattern_len, -1),
+            'translations': placement[:, 4:].reshape(B, self.max_pattern_len, -1),
+        }
+
+
+def randomize_reference_weights(model, seed=0):
+    """Non-trivial weights AND BatchNorm running stats (a fresh BN has
+    mean=0/var=1, which would hide folding/import bugs)."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for module in model.modules():
+            if isinstance(module, nn.BatchNorm1d):
+                module.running_mean.normal_(0, 0.2, generator=gen)
+                module.running_var.uniform_(0.5, 2.0, generator=gen)
+                module.weight.uniform_(0.5, 1.5, generator=gen)
+                module.bias.normal_(0, 0.1, generator=gen)
+            elif isinstance(module, (nn.Linear,)):
+                module.weight.normal_(0, 0.3, generator=gen)
+                module.bias.normal_(0, 0.1, generator=gen)
+            elif isinstance(module, nn.LSTM):
+                for p in module.parameters():
+                    p.normal_(0, 0.2, generator=gen)
+    return model

@@ -107,11 +107,15 @@ def pattern_stitch_loss(stitch_tags, gt_stitches, gt_stitches_nums,
                    'stitch_neg_loss': neg_loss}
 
 
-def bce_with_logits(logits, targets):
-    """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss)."""
+def bce_with_logits(logits, targets, mask=None):
+    """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss).
+    `mask` restricts the mean to the marked elements (padded-bucket eval)."""
     targets = targets.astype(logits.dtype)
-    return jnp.mean(
-        jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    per_elem = (jnp.maximum(logits, 0) - logits * targets
+                + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    if mask is None:
+        return jnp.mean(per_elem)
+    return jnp.sum(jnp.where(mask, per_elem, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
 
 
 # ----------------------------------------------------------------------

@@ -419,10 +419,13 @@ class ComposedPatternLoss:
             tags = preds['stitch_tags']
             if self.explicit_stitch_tags and self.tag_stats is not None:
                 tags = tags * self.tag_stats['scale'] + self.tag_stats['shift']
-            max_stitches = gt['stitches'].shape[-1]
+            # uncapped decode capacity (E//2 = every edge paired), matching
+            # the reference's unbounded greedy loop (nn/data/datasets.py:
+            # 916-968) even for degenerate all-stitched predictions
+            n_edges = tags.shape[1] * tags.shape[2]
             prec, rec, corr_prec, corr_rec = stitch_precision_recall(
                 tags, preds['free_edges_mask'], gt['stitches'].astype(jnp.int32),
-                gt['num_stitches'], max_stitches=max(2 * max_stitches, 4),
+                gt['num_stitches'], max_stitches=max(n_edges // 2, 2),
                 correct_mask=correct_mask)
             loss_dict.update(stitch_precision=prec, stitch_recall=rec,
                              corr_stitch_precision=corr_prec,
@@ -453,12 +456,18 @@ class ComposedLoss:
         self.l_components = tuple(self.config['loss_components'])
         self.q_components = tuple(self.config['quality_components'])
 
-    def __call__(self, preds, ground_truth, names=None, epoch=1000, rng=None):
+    def __call__(self, preds, ground_truth, names=None, epoch=1000, rng=None,
+                 mask=None):
+        """`mask` (same leading shape as preds, optional): marks the REAL
+        pairs when a variable-length exhaustive-pairs batch was padded to a
+        shape bucket (eval-time jit friendliness, SURVEY §7 hard-part 5) —
+        padded entries contribute to no mean and no count."""
         loss_dict = {}
         full_loss = 0.0
+        valid = None if mask is None else mask.reshape(-1)
         if 'edge_pair_class' in self.l_components:
             pair_loss = C.bce_with_logits(
-                preds.reshape(-1), ground_truth.reshape(-1))
+                preds.reshape(-1), ground_truth.reshape(-1), mask=valid)
             loss_dict['edge_pair_class_loss'] = pair_loss
             full_loss += pair_loss
 
@@ -468,9 +477,19 @@ class ComposedLoss:
                     or 'edge_pair_stitch_recall' in self.q_components):
                 pred_class = jnp.round(jax.nn.sigmoid(preds_sg)).reshape(-1)
                 gt_mask = ground_truth.reshape(-1).astype(pred_class.dtype)
+                if valid is not None:
+                    # padded slots: predicted 0 vs gt 0 (no tp/fp/fn), and
+                    # excluded from the accuracy mean
+                    pred_class = jnp.where(valid, pred_class, 0.0)
+                    gt_mask = jnp.where(valid, gt_mask, 0.0)
             if 'edge_pair_class' in self.q_components:
-                loss_dict['edge_pair_class_acc'] = jnp.mean(
-                    (pred_class == gt_mask).astype(jnp.float32))
+                correct = (pred_class == gt_mask).astype(jnp.float32)
+                if valid is None:
+                    loss_dict['edge_pair_class_acc'] = jnp.mean(correct)
+                else:
+                    loss_dict['edge_pair_class_acc'] = (
+                        jnp.sum(jnp.where(valid, correct, 0.0))
+                        / jnp.maximum(jnp.sum(valid), 1))
             if 'edge_pair_stitch_recall' in self.q_components:
                 true_pos = jnp.sum((pred_class == 1) & (gt_mask == 1))
                 pred_pos = jnp.sum(pred_class == 1)

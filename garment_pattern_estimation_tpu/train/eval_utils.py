@@ -8,8 +8,13 @@ import jax.numpy as jnp
 from ..core import InvalidPatternDefError
 
 
-def make_predict_fn(model, variables, rng_seed=0):
-    """features (numpy/jnp batch) -> prediction dict (numpy), jitted."""
+def make_predict_fn(model, variables, rng_seed=0, bucket_pairs=False):
+    """features (numpy/jnp batch) -> prediction dict (numpy), jitted.
+
+    `bucket_pairs`: pad 2D (n_pairs, F) inputs to the next power of two and
+    slice the outputs back — the exhaustive-pairs stitch path feeds a
+    different pair count per pattern (reference: on_test_set.py:96-97), which
+    would otherwise force one XLA compile per pattern."""
     apply_jit = jax.jit(lambda feats, rng: model.module.apply(
         variables, feats, train=False, rngs={'recurrent_init': rng}))
     counter = [0]
@@ -17,10 +22,19 @@ def make_predict_fn(model, variables, rng_seed=0):
     def predict(features):
         counter[0] += 1
         rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), counter[0])
-        preds = apply_jit(jnp.asarray(np.asarray(features, dtype=np.float32)), rng)
+        features = np.asarray(features, dtype=np.float32)
+        real = features.shape[0]
+        if bucket_pairs and features.ndim == 2:
+            bucket = 1 << max(int(np.ceil(np.log2(max(real, 1)))), 5)
+            if bucket != real:
+                features = np.concatenate(
+                    [features,
+                     np.zeros((bucket - real,) + features.shape[1:],
+                              features.dtype)])
+        preds = apply_jit(jnp.asarray(features), rng)
         if isinstance(preds, dict):
-            return {k: np.asarray(v) for k, v in preds.items()}
-        return np.asarray(preds)
+            return {k: np.asarray(v)[:real] for k, v in preds.items()}
+        return np.asarray(preds)[:real]
 
     return predict
 
@@ -40,6 +54,26 @@ def eval_metrics(model, variables, data_wrapper, section='test', rng_seed=0):
     return _eval_metrics_per_loader(model, variables, loader, rng_seed)
 
 
+def _bucket_pad(features, gt):
+    """Pad a variable-length pair batch (B, n_pairs, F) to the next power of
+    two so the jitted eval compiles once per bucket instead of once per
+    pattern (the reference evaluates ALL edge pairs of each pattern at batch
+    1 — on_test_set.py:96-97; SURVEY §7 hard-part 5). Returns
+    (features, gt, mask)."""
+    n = features.shape[1]
+    bucket = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 5)
+    if bucket == n:
+        return features, gt, np.ones(gt.shape, bool)
+    pad = bucket - n
+    features = np.concatenate(
+        [features, np.zeros((features.shape[0], pad) + features.shape[2:],
+                            features.dtype)], axis=1)
+    mask = np.concatenate([np.ones(gt.shape, bool),
+                           np.zeros(gt.shape[:1] + (pad,), bool)], axis=1)
+    gt = np.concatenate([gt, np.zeros((gt.shape[0], pad), gt.dtype)], axis=1)
+    return features, gt, mask
+
+
 def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
     current_metrics = {'full_loss': []}
 
@@ -51,6 +85,13 @@ def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
         preds = model.module.apply(variables, feats, train=False,
                                    rngs={'recurrent_init': rng})
         full_loss, loss_dict, _ = model.loss(preds, gt)
+        return full_loss, loss_dict
+
+    @jax.jit
+    def eval_batch_masked(feats, gt, mask, rng):
+        preds = model.module.apply(variables, feats, train=False,
+                                   rngs={'recurrent_init': rng})
+        full_loss, loss_dict, _ = model.loss(preds, gt, mask=mask)
         return full_loss, loss_dict
 
     loader_iter = iter(loader)
@@ -68,9 +109,17 @@ def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
         gt = batch['ground_truth']
         if not isinstance(gt, dict) and (gt is None or np.asarray(gt).size == 0):
             gt = batch['features']  # reconstruction fallback
-        gt = jax.tree_util.tree_map(jnp.asarray, gt)
 
-        full_loss, loss_dict = eval_batch(jnp.asarray(batch['features']), gt, rng)
+        features = np.asarray(batch['features'])
+        if (not isinstance(gt, dict) and features.ndim == 3
+                and np.asarray(gt).ndim == 2):
+            # stitch-pairs eval: variable pair counts -> bucketed + masked
+            features, gt, mask = _bucket_pad(features, np.asarray(gt))
+            full_loss, loss_dict = eval_batch_masked(
+                jnp.asarray(features), jnp.asarray(gt), jnp.asarray(mask), rng)
+        else:
+            gt = jax.tree_util.tree_map(jnp.asarray, gt)
+            full_loss, loss_dict = eval_batch(jnp.asarray(features), gt, rng)
         current_metrics['full_loss'].append(float(full_loss))
         for key, value in loss_dict.items():
             scalar = float(np.asarray(value)) if np.asarray(value).ndim == 0 else None

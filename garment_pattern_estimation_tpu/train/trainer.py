@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import optax
 
 from ..data import DatasetWrapper
-from ..parallel import make_mesh, shard_batch, replicate, DATA_AXIS
+from ..parallel import (make_mesh, shard_batch, replicate,
+                        pad_batch_to_multiple, DATA_AXIS)
 
 
 class Trainer:
@@ -111,9 +112,18 @@ class Trainer:
                          f'order_random={order_random} (ews={ews}, ewo={ewo})')
 
     # ------------- jitted steps -------------
-    def _train_step_fn(self, model, tx, phase):
-        if ('train', phase) in self._step_cache:
-            return self._step_cache[('train', phase)]
+    # Remainder batches are padded to a mesh multiple (repeating the last
+    # sample) so the forward always runs sharded over the FULL mesh — the
+    # reference's DataParallel scatters any batch size (nn/train.py:124).
+    # The padded rows are sliced off *inside* the jitted step before the
+    # loss, so losses/metrics/gradients are exactly those of the real batch
+    # (padded rows get zero gradient). Only the in-batch BN statistics see
+    # the duplicates — a smaller deviation than DataParallel's own per-GPU BN.
+
+    def _train_step_fn(self, model, tx, phase, real_size):
+        key = ('train', phase, real_size)
+        if key in self._step_cache:
+            return self._step_cache[key]
         stitch_phase, order_random = phase
         epoch_c = self._canonical_epoch(model.loss.config, stitch_phase, order_random)
 
@@ -125,8 +135,11 @@ class Trainer:
                     {'params': p, 'batch_stats': batch_stats},
                     batch['features'], train=True, mutable=['batch_stats'],
                     rngs={'recurrent_init': rng_states, 'dropout': rng_drop})
+                preds = jax.tree_util.tree_map(lambda x: x[:real_size], preds)
+                gt = jax.tree_util.tree_map(lambda x: x[:real_size],
+                                            batch['ground_truth'])
                 loss, loss_dict, _ = model.loss(
-                    preds, batch['ground_truth'], epoch=epoch_c, rng=rng_loss)
+                    preds, gt, epoch=epoch_c, rng=rng_loss)
                 return loss, (loss_dict, mutated['batch_stats'])
 
             (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
@@ -136,12 +149,13 @@ class Trainer:
             return new_params, new_stats, new_opt_state, loss, loss_dict
 
         jitted = jax.jit(step, donate_argnums=(0, 1, 2))
-        self._step_cache[('train', phase)] = jitted
+        self._step_cache[key] = jitted
         return jitted
 
-    def _eval_step_fn(self, model, phase):
-        if ('eval', phase) in self._step_cache:
-            return self._step_cache[('eval', phase)]
+    def _eval_step_fn(self, model, phase, real_size):
+        key = ('eval', phase, real_size)
+        if key in self._step_cache:
+            return self._step_cache[key]
         stitch_phase, order_random = phase
         epoch_c = self._canonical_epoch(model.loss.config, stitch_phase, order_random)
 
@@ -150,24 +164,29 @@ class Trainer:
                 {'params': params, 'batch_stats': batch_stats},
                 batch['features'], train=False,
                 rngs={'recurrent_init': rng})
-            loss, loss_dict, _ = model.loss(
-                preds, batch['ground_truth'], epoch=epoch_c, rng=rng)
+            preds = jax.tree_util.tree_map(lambda x: x[:real_size], preds)
+            gt = jax.tree_util.tree_map(lambda x: x[:real_size],
+                                        batch['ground_truth'])
+            loss, loss_dict, _ = model.loss(preds, gt, epoch=epoch_c, rng=rng)
             return loss, loss_dict
 
         jitted = jax.jit(step)
-        self._step_cache[('eval', phase)] = jitted
+        self._step_cache[key] = jitted
         return jitted
 
     # ------------- batch placement -------------
     def _place_batch(self, batch):
+        """Place a host batch on the mesh. Returns (placed arrays, real batch
+        size). Non-divisible batches are padded to a mesh multiple so they
+        still shard over every device."""
         arrays = {'features': batch['features'],
                   'ground_truth': batch['ground_truth']}
+        size = int(arrays['features'].shape[0])
         if self.mesh is not None and len(self.mesh.devices.flatten()) > 1:
             n = len(self.mesh.devices.flatten())
-            size = arrays['features'].shape[0]
-            if size % n == 0:
-                return shard_batch(self.mesh, arrays)
-        return jax.tree_util.tree_map(jnp.asarray, arrays)
+            arrays, size = pad_batch_to_multiple(arrays, n)
+            return shard_batch(self.mesh, arrays), size
+        return jax.tree_util.tree_map(jnp.asarray, arrays), size
 
     # ------------- fit -------------
     def fit(self, model, variables=None):
@@ -178,13 +197,10 @@ class Trainer:
         if not hasattr(self, '_root_key'):
             self.init_randomizer()
         if self.mesh is None:
-            # largest device count that divides the batch size, so every
-            # training batch shards cleanly over the data axis
-            import jax as _jax
-            available = len(_jax.devices())
-            batch = self.setup['batch_size']
-            n = max((d for d in range(1, available + 1) if batch % d == 0),
-                    default=1)
+            # full data-parallel mesh: remainder batches are padded to a mesh
+            # multiple and sliced off before the loss, so every batch size
+            # shards over every device (DataParallel-any-batch behavior)
+            n = len(jax.devices())
             self.mesh = make_mesh(n)
             if n > 1:
                 print(f'Trainer::data-parallel mesh over {n} devices')
@@ -235,7 +251,6 @@ class Trainer:
 
         for epoch in range(start_epoch, self.setup['epochs']):
             phase = self._phase_of(loss_config, epoch)
-            train_step = self._train_step_fn(model, tx, phase)
             last_loss = np.nan
 
             # async stepping: never sync inside the batch loop — a per-step
@@ -246,7 +261,8 @@ class Trainer:
             for batch_i, batch in enumerate(train_loader):
                 step_start = time.perf_counter()
                 self._maybe_profile(step_count)
-                placed = self._place_batch(batch)
+                placed, real_size = self._place_batch(batch)
+                train_step = self._train_step_fn(model, tx, phase, real_size)
                 rng = jax.random.fold_in(self._root_key, step_count + 1)
                 params, batch_stats, opt_state, loss, loss_dict = train_step(
                     params, batch_stats, opt_state, placed, rng)
@@ -270,10 +286,10 @@ class Trainer:
                 self.experiment.log(log_record, step=lstep)
 
             # --- validation pass (sync once at the end) ---
-            eval_step = self._eval_step_fn(model, phase)
             valid_losses = []
             for batch in valid_loader:
-                placed = self._place_batch(batch)
+                placed, real_size = self._place_batch(batch)
+                eval_step = self._eval_step_fn(model, phase, real_size)
                 rng = jax.random.fold_in(self._root_key, 2 ** 20 + epoch)
                 vloss, _ = eval_step(params, batch_stats, placed, rng)
                 valid_losses.append(vloss)

@@ -145,3 +145,35 @@ def test_bce_matches_manual():
     manual = -np.mean(
         np.log([1 / (1 + np.exp(-0.5)), 1 - 1 / (1 + np.exp(1.0)), 1 / (1 + np.exp(-2.0))]))
     np.testing.assert_allclose(float(C.bce_with_logits(logits, targets)), manual, rtol=1e-4)
+
+
+def test_stitch_loss_masked_bucket_parity():
+    """Padding exhaustive-pairs batches to a shape bucket with a mask must
+    not change the loss or any quality metric (SURVEY §7 hard-part 5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from garment_pattern_estimation_tpu.losses.composed import ComposedLoss
+
+    loss = ComposedLoss({'element_size': 16}, {
+        'loss_components': ['edge_pair_class'],
+        'quality_components': ['edge_pair_class', 'edge_pair_stitch_recall'],
+    })
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.normal(size=(1, 37)).astype(np.float32))
+    gt = jnp.asarray(rng.integers(0, 2, size=(1, 37)).astype(bool))
+
+    plain, plain_dict, _ = loss(logits, gt)
+
+    pad = 64 - 37
+    logits_p = jnp.concatenate(
+        [logits, jnp.full((1, pad), 9.0)], axis=1)  # poison the padding
+    gt_p = jnp.concatenate([gt, jnp.ones((1, pad), bool)], axis=1)
+    mask = jnp.concatenate([jnp.ones((1, 37), bool),
+                            jnp.zeros((1, pad), bool)], axis=1)
+    padded, padded_dict, _ = loss(logits_p, gt_p, mask=mask)
+
+    np.testing.assert_allclose(float(padded), float(plain), rtol=1e-6)
+    for key in plain_dict:
+        np.testing.assert_allclose(float(padded_dict[key]),
+                                   float(plain_dict[key]), rtol=1e-6,
+                                   err_msg=f'metric <{key}> diverged')

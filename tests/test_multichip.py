@@ -37,3 +37,78 @@ def test_shard_and_replicate_placement():
 
     padded, real = pad_batch_to_multiple({'x': np.ones((5, 2))}, 4)
     assert padded['x'].shape[0] == 8 and real == 5
+
+
+def test_remainder_batch_shards_with_exact_loss():
+    """A batch that doesn't divide the mesh is padded, sharded over ALL
+    devices, and sliced inside the step — the loss must equal the plain
+    unsharded computation on the real samples (VERDICT round-1 gap #4;
+    reference DataParallel scatters any batch size, nn/train.py:124)."""
+    import jax.numpy as jnp
+    from garment_pattern_estimation_tpu.models import build_model
+    from garment_pattern_estimation_tpu.parallel import make_mesh, replicate
+    from garment_pattern_estimation_tpu.train.trainer import Trainer
+
+    data_config = {
+        'element_size': 4, 'rotation_size': 4, 'translation_size': 3,
+        'max_panel_len': 6, 'max_pattern_len': 5, 'max_num_stitches': 4,
+        'standardize': {
+            'gt_shift': {'outlines': [0, 0, 0, 0], 'rotations': [0, 0, 0, 0],
+                         'translations': [0, 0, 0], 'stitch_tags': [0, 0, 0]},
+            'gt_scale': {'outlines': [1, 1, 1, 1], 'rotations': [1, 1, 1, 1],
+                         'translations': [1, 1, 1], 'stitch_tags': [1, 1, 1]},
+        },
+    }
+    nn_config = {'panel_encoding_size': 16, 'panel_hidden_size': 16,
+                 'panel_n_layers': 1, 'EConv_hidden': 8, 'EConv_feature': 8,
+                 'conv_depth': 1, 'k_neighbors': 3, 'local_attention': True,
+                 'skip_connections': True, 'global_pool': 'mean',
+                 'lstm_init': ''}  # zero init states: the reference's random
+                                   # state noise is batch-shape-dependent
+    model = build_model('GarmentSegmentPattern3D', data_config, nn_config,
+                        {'quality_components': []}, use_pallas=False)
+
+    rng = np.random.default_rng(3)
+    B, N, P, L = 5, 32, 5, 6   # 5 does not divide a 4-device mesh
+    batch = {
+        'features': rng.normal(size=(B, N, 3)).astype(np.float32),
+        'ground_truth': {
+            'outlines': rng.normal(size=(B, P, L, 4)).astype(np.float32),
+            'rotations': rng.normal(size=(B, P, 4)).astype(np.float32),
+            'translations': rng.normal(size=(B, P, 3)).astype(np.float32),
+            'num_edges': np.full((B, P), 4, dtype=np.int32),
+            'num_panels': np.full((B,), P, dtype=np.int32),
+            'empty_panels_mask': np.zeros((B, P), dtype=bool),
+            'stitches': np.zeros((B, 2, 4), dtype=np.int32),
+            'num_stitches': np.ones((B,), dtype=np.int32),
+            'free_edges_mask': np.ones((B, P, L), dtype=bool),
+            'stitch_tags': rng.normal(size=(B, P, L, 3)).astype(np.float32),
+        },
+    }
+    variables = model.init_variables(jax.random.PRNGKey(0),
+                                     jnp.asarray(batch['features'][:2]))
+
+    n = min(len(jax.devices()), 4)
+    trainer = Trainer.__new__(Trainer)
+    trainer.mesh = make_mesh(n)
+    trainer._step_cache = {}
+
+    placed, real = trainer._place_batch(batch)
+    assert real == B
+    assert placed['features'].shape[0] == -(-B // n) * n  # padded to multiple
+    assert len(placed['features'].devices()) == n          # on the full mesh
+
+    params = replicate(trainer.mesh, variables['params'])
+    stats = replicate(trainer.mesh, variables.get('batch_stats', {}))
+    eval_step = trainer._eval_step_fn(model, (False, False), real)
+    loss_sharded, _ = eval_step(params, stats, placed, jax.random.PRNGKey(7))
+
+    # plain single-placement computation on the real samples
+    preds = model.module.apply(variables, jnp.asarray(batch['features']),
+                               train=False,
+                               rngs={'recurrent_init': jax.random.PRNGKey(7)})
+    loss_plain, _, _ = model.loss(
+        preds, jax.tree_util.tree_map(jnp.asarray, batch['ground_truth']),
+        epoch=0, rng=jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(loss_sharded), float(loss_plain),
+                               rtol=1e-5)
