@@ -1,0 +1,221 @@
+"""One-command reference-parity check (BASELINE.json north star: panel L2
+and stitch F1 within 1% of the torch reference).
+
+The real ~22k-garment dataset and the reference's shape checkpoints are not
+distributable with this repo (reference models/.MISSING_LARGE_BLOBS), so
+this harness is gated on the assets: the moment they exist, parity is::
+
+    python -m garment_pattern_estimation_tpu.cli.parity_check \
+        --dataset_root /data/garment_datasets \
+        --shape_pth  .../neural_tailor_panels.pth \
+        --stitch_pth .../neural_tailor_stitch_model.pth \
+        [--expected published_metrics.json] [--torch_cross_check]
+
+Three comparison modes, composable:
+  * absolute metrics table — panel L2, #panels/#edges accuracy, placement
+    L2, stitch precision/recall/F1 on the shipped test split;
+  * ``--expected`` — compare against a {metric: value} JSON of published
+    reference numbers, PASS/FAIL at ``--tolerance`` (default 1%);
+  * ``--torch_cross_check`` — replay the same checkpoint through the pure
+    -torch replica (experiment/torch_reference.py) on the same test batches
+    and diff the two forwards' metrics: model-level parity isolated from
+    data-pipeline differences.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .common import load_yaml
+from ..data import DATASET_REGISTRY, DatasetWrapper, GarmentStitchPairsDataset
+from ..models import build_model
+from ..train import eval_metrics, make_predict_fn
+from ..experiment.torch_import import load_checkpoint_any
+
+SHAPE_METRICS = ('panel_shape_l2', 'num_panels_accuracy', 'num_edges_accuracy',
+                 'rotation_l2', 'translation_l2')
+STITCH_METRICS = ('stitch_precision', 'stitch_recall', 'stitch_f1',
+                  'edge_pair_class_acc')
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--dataset_root', required=True)
+    parser.add_argument('--shape_config', default='./configs/att.yaml')
+    parser.add_argument('--shape_pth', required=True,
+                        help='reference shape checkpoint (.pth) or native msgpack')
+    parser.add_argument('--stitch_config', default='./configs/stitch_model.yaml')
+    parser.add_argument('--stitch_pth', default='',
+                        help='reference stitch checkpoint; omit to skip stage 2')
+    parser.add_argument('--expected', default='',
+                        help='JSON of published metric values to compare against')
+    parser.add_argument('--tolerance', type=float, default=0.01)
+    parser.add_argument('--torch_cross_check', action='store_true')
+    parser.add_argument('--max_datapoints', type=int, default=None,
+                        help='cap per-type datapoints (quick smoke runs)')
+    parser.add_argument('--output', default='./parity_report.json')
+    return parser.parse_args(argv)
+
+
+def _build_shape_stack(args):
+    config = load_yaml(args.shape_config)
+    data_config = dict(config['dataset'])
+    if args.max_datapoints:
+        data_config['max_datapoints_per_type'] = args.max_datapoints
+    dataset = DATASET_REGISTRY[data_config.get(
+        'class', 'Garment3DPatternFullDataset')](
+        Path(args.dataset_root), data_config, gt_caching=True, feature_caching=True)
+    wrapper = DatasetWrapper(dataset)
+    wrapper.load_split(config.get('data_split', {}))
+    wrapper.new_loaders(config['trainer']['batch_size'])
+    wrapper.standardize_data()
+
+    # zero LSTM init states on BOTH sides of every comparison: the
+    # reference's random-state noise (batch-shape-dependent) would otherwise
+    # blur the 1% check
+    nn_config = dict(config['NN'], lstm_init='')
+    model = build_model(nn_config.get('model', 'GarmentSegmentPattern3D'),
+                        dataset.config, nn_config, nn_config.get('loss', {}))
+    variables = load_checkpoint_any(
+        args.shape_pth, model_name=config['NN'].get('model'))['variables']
+    return config, dataset, wrapper, model, variables
+
+
+def _torch_replica_metrics(config, dataset, wrapper, model, shape_pth):
+    """Replay the checkpoint with the torch replica on the SAME test batches
+    and compute the SAME metrics via our loss stack — model-level parity."""
+    import torch
+    import jax.numpy as jnp
+    from ..experiment.torch_reference import TorchGarmentSegmentPattern3D
+
+    nn_cfg = config['NN']
+    replica = TorchGarmentSegmentPattern3D(
+        max_pattern_len=dataset.config['max_pattern_len'],
+        max_panel_len=dataset.config['max_panel_len'],
+        element_size=dataset.config['element_size'],
+        panel_encoding_size=nn_cfg.get('panel_encoding_size', 250),
+        panel_hidden_size=nn_cfg.get('panel_hidden_size', 250),
+        panel_n_layers=nn_cfg.get('panel_n_layers', 3),
+        econv_hidden=nn_cfg.get('EConv_hidden', 200),
+        econv_hidden_depth=nn_cfg.get('EConv_hidden_depth', 2),
+        econv_feature=nn_cfg.get('EConv_feature', 150),
+        k_neighbors=nn_cfg.get('k_neighbors', 5),
+        conv_depth=nn_cfg.get('conv_depth', 2),
+        skip_connections=nn_cfg.get('skip_connections', True)).eval()
+    ckpt = torch.load(shape_pth, map_location='cpu', weights_only=False)
+    state = ckpt.get('model_state_dict', ckpt)
+    state = {k.removeprefix('module.'): v for k, v in state.items()}
+    replica.load_state_dict(state, strict=False)
+
+    # aggregate exactly like train/eval_utils.eval_metrics: unweighted mean
+    # over batches, nan-valued metrics skipped per batch
+    metrics = {}
+    for batch in wrapper.loaders.test:
+        with torch.no_grad():
+            preds = replica(torch.from_numpy(np.asarray(
+                batch['features'], dtype=np.float32)))
+        preds = {k: jnp.asarray(v.numpy()) for k, v in preds.items()}
+        gt = {k: jnp.asarray(v) for k, v in batch['ground_truth'].items()}
+        _, loss_dict, _ = model.loss(preds, gt)
+        for key, value in loss_dict.items():
+            value = np.asarray(value)
+            if value.ndim == 0 and np.isfinite(float(value)):
+                metrics.setdefault(key, []).append(float(value))
+    return {k: sum(v) / len(v) for k, v in metrics.items() if v}
+
+
+def _compare_rows(ours, other, keys, label):
+    rows = []
+    for key in keys:
+        a, b = ours.get(key), other.get(key)
+        if a is None or b is None:
+            continue
+        delta = abs(a - b) / max(abs(b), 1e-3)  # floor: accuracies near 0
+        rows.append((f'{label}:{key}', a, b, delta))
+    return rows
+
+
+def main(argv=None):
+    args = get_args(argv)
+    report = {'dataset_root': args.dataset_root, 'shape_pth': args.shape_pth}
+
+    config, dataset, wrapper, model, variables = _build_shape_stack(args)
+    print('parity_check::evaluating shape model on the test split')
+    ours = eval_metrics(model, variables, wrapper, 'test')
+    report['shape_metrics'] = {k: ours.get(k) for k in SHAPE_METRICS if k in ours}
+    print(json.dumps(report['shape_metrics'], indent=1))
+
+    rows = []
+    if args.torch_cross_check:
+        print('parity_check::torch replica cross-check (same batches, same metrics)')
+        torch_metrics = _torch_replica_metrics(
+            config, dataset, wrapper, model, args.shape_pth)
+        report['torch_replica_metrics'] = {
+            k: torch_metrics.get(k) for k in SHAPE_METRICS if k in torch_metrics}
+        rows += _compare_rows(ours, torch_metrics, SHAPE_METRICS, 'torch')
+
+    if args.stitch_pth:
+        print('parity_check::stage 2 — stitches on shape predictions')
+        predict_fn = make_predict_fn(model, variables)
+        pred_path = wrapper.predict(predict_fn, Path('./parity_predictions'),
+                                    dir_tag='parity', sections=['test'],
+                                    orig_folder_names=True)
+        stitch_cfg = load_yaml(args.stitch_config)
+        pred_test = Path(pred_path) / 'test'
+        stitch_data_cfg = dict(
+            stitch_cfg['dataset'], random_pairs_mode=False,
+            data_folders=sorted(d.name for d in pred_test.iterdir()
+                                if d.is_dir()))
+        stitch_dataset = GarmentStitchPairsDataset(
+            pred_test, stitch_data_cfg, gt_caching=True, feature_caching=True)
+        stitch_wrapper = DatasetWrapper(stitch_dataset, batch_size=1)
+        stitch_wrapper.standardize_data()
+        stitch_model = build_model(
+            'StitchOnEdge3DPairs', stitch_dataset.config,
+            stitch_cfg['NN'], stitch_cfg['NN'].get('loss', {}))
+        stitch_vars = load_checkpoint_any(args.stitch_pth)['variables']
+        stitch_metrics = eval_metrics(stitch_model, stitch_vars,
+                                      stitch_wrapper, 'full')
+        p, r = stitch_metrics.get('stitch_precision'), stitch_metrics.get('stitch_recall')
+        if p is not None and r is not None:
+            stitch_metrics['stitch_f1'] = \
+                2 * p * r / (p + r) if (p + r) > 0 else 0.0
+        report['stitch_metrics'] = {
+            k: stitch_metrics.get(k) for k in STITCH_METRICS if k in stitch_metrics}
+        ours.update(report['stitch_metrics'])
+        print(json.dumps(report['stitch_metrics'], indent=1))
+
+    if args.expected:
+        expected = json.loads(Path(args.expected).read_text())
+        report['expected'] = expected
+        rows += _compare_rows(ours, expected, list(expected), 'published')
+
+    failed = []
+    if rows:
+        width = max(len(r[0]) for r in rows)
+        print(f'\n{"metric".ljust(width)}  {"ours":>12}  {"reference":>12}  delta')
+        for name, a, b, delta in rows:
+            status = 'PASS' if delta <= args.tolerance else 'FAIL'
+            print(f'{name.ljust(width)}  {a:12.5f}  {b:12.5f}  {delta:6.2%} {status}')
+            if delta > args.tolerance:
+                failed.append(name)
+        report['comparisons'] = [
+            {'metric': n, 'ours': a, 'reference': b, 'delta': d,
+             'pass': d <= args.tolerance} for n, a, b, d in rows]
+
+    Path(args.output).write_text(json.dumps(report, indent=1))
+    print(f'parity_check::report -> {args.output}')
+    if failed:
+        print(f'parity_check::FAIL::{len(failed)} metric(s) beyond '
+              f'{args.tolerance:.0%}: {failed}')
+        return 1
+    print('parity_check::all comparisons within tolerance')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -207,6 +207,20 @@ class TorchGarmentFullPattern3D(nn.Module):
         }
 
 
+class TorchStitchOnEdge3DPairs(nn.Module):
+    """Reference stitch pair classifier: MLP(16, 200x3, 1) with ReLU+BN after
+    every layer INCLUDING the logit head (the reference's MLP quirk,
+    nn/net_blocks.py:43-47 + nn/nets.py:339-340)."""
+
+    def __init__(self, pair_feature_len=16, hidden=200, n_layers=3):
+        super().__init__()
+        self.mlp = _mlp([pair_feature_len] + [hidden] * n_layers + [1])
+
+    def forward(self, pairs):
+        flat = pairs.reshape(-1, pairs.shape[-1])
+        return self.mlp(flat).reshape(pairs.shape[:-1])
+
+
 def randomize_reference_weights(model, seed=0):
     """Non-trivial weights AND BatchNorm running stats (a fresh BN has
     mean=0/var=1, which would hide folding/import bugs)."""

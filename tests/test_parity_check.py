@@ -1,0 +1,134 @@
+"""End-to-end run of the parity harness (cli/parity_check.py) on synthetic
+data with synthetic reference-format checkpoints: the imported flax forward
+must match the torch replica's metrics within the 1% north-star tolerance,
+and the two-stage stitch path must produce a report."""
+import json
+
+import pytest
+import yaml
+
+torch = pytest.importorskip('torch')
+
+
+@pytest.fixture(scope='module')
+def parity_env(tmp_path_factory):
+    from garment_pattern_estimation_tpu.utils import synthetic
+    from garment_pattern_estimation_tpu.experiment.torch_reference import (
+        TorchGarmentSegmentPattern3D, TorchStitchOnEdge3DPairs,
+        randomize_reference_weights)
+
+    root = tmp_path_factory.mktemp('parity')
+    data = root / 'data'
+    synthetic.generate_dataset(data, samples_per_folder=6, seed=5)
+    synthetic.panel_classes_for_templates(data / 'panel_classes.json')
+
+    nn = {'model': 'GarmentSegmentPattern3D', 'feature_extractor': 'EdgeConvFeatures',
+          'conv_depth': 1, 'k_neighbors': 5, 'EConv_hidden': 12,
+          'EConv_feature': 10, 'EConv_hidden_depth': 1, 'EConv_aggr': 'max',
+          'global_pool': 'mean', 'skip_connections': True,
+          'local_attention': True, 'panel_decoder': 'LSTMDecoderModule',
+          'panel_encoding_size': 16, 'panel_hidden_size': 16,
+          'panel_n_layers': 1, 'stitch_tag_dim': 3,
+          'loss': {'loss_components': ['shape', 'loop', 'rotation', 'translation'],
+                   'quality_components': ['shape', 'discrete', 'rotation', 'translation'],
+                   'panel_origin_invariant_loss': False,
+                   'panel_order_inariant_loss': False}}
+    shape_config = {
+        'experiment': {'project_name': 'Parity', 'run_name': 'shape', 'run_id': None},
+        'dataset': {'class': 'Garment3DPatternFullDataset',
+                    'data_folders': ['tee_synth_300', 'skirt_synth_300',
+                                     'jumpsuit_synth_300'],
+                    'mesh_samples': 60, 'obj_filetag': 'sim', 'point_noise_w': 0,
+                    'panel_classification': str(data / 'panel_classes.json')},
+        'data_split': {'valid_per_type': 1, 'test_per_type': 2,
+                       'random_seed': 10, 'type': 'count'},
+        'NN': nn,
+        'trainer': {'batch_size': 4, 'epochs': 1, 'random_seed': 1,
+                    'learning_rate': 0.002, 'optimizer': 'Adam',
+                    'lr_scheduling': {'mode': '1cyclic'}},
+    }
+    shape_yaml = root / 'shape.yaml'
+    shape_yaml.write_text(yaml.safe_dump(shape_config, sort_keys=False))
+
+    # synthetic reference-format checkpoints (sizes must match the config;
+    # max_pattern_len/max_panel_len are inferred from the synthetic data)
+    replica = randomize_reference_weights(TorchGarmentSegmentPattern3D(
+        max_pattern_len=11, max_panel_len=6, element_size=4,
+        panel_encoding_size=16, panel_hidden_size=16, panel_n_layers=1,
+        econv_hidden=12, econv_hidden_depth=1, econv_feature=10,
+        k_neighbors=5, conv_depth=1, skip_connections=True), seed=8)
+    shape_pth = root / 'shape.pth'
+    torch.save({'model_state_dict': replica.state_dict(), 'epoch': 1}, shape_pth)
+
+    stitch = randomize_reference_weights(
+        TorchStitchOnEdge3DPairs(hidden=16, n_layers=2), seed=9)
+    stitch_pth = root / 'stitch.pth'
+    torch.save({'model_state_dict': stitch.state_dict(), 'epoch': 1}, stitch_pth)
+
+    stitch_config = {
+        'experiment': {'project_name': 'Parity', 'run_name': 'stitch', 'run_id': None},
+        'dataset': {'class': 'GarmentStitchPairsDataset',
+                    'stitched_edge_pairs_num': 20,
+                    'non_stitched_edge_pairs_num': 20},
+        'NN': {'model': 'StitchOnEdge3DPairs', 'stitch_hidden_size': 16,
+               'stitch_mlp_n_layers': 2,
+               'loss': {'loss_components': ['edge_pair_class'],
+                        'quality_components': ['edge_pair_class',
+                                               'edge_pair_stitch_recall']}},
+        'trainer': {'batch_size': 2},
+    }
+    stitch_yaml = root / 'stitch.yaml'
+    stitch_yaml.write_text(yaml.safe_dump(stitch_config, sort_keys=False))
+    return root, data, shape_yaml, shape_pth, stitch_yaml, stitch_pth
+
+
+def test_parity_check_torch_cross_check(parity_env, tmp_path, monkeypatch):
+    root, data, shape_yaml, shape_pth, _, _ = parity_env
+    monkeypatch.chdir(tmp_path)
+    from garment_pattern_estimation_tpu.cli import parity_check
+
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--shape_pth', str(shape_pth), '--torch_cross_check',
+        '--output', str(tmp_path / 'report.json')])
+    assert rc == 0, 'imported flax forward diverged >1% from the torch replica'
+    report = json.loads((tmp_path / 'report.json').read_text())
+    assert 'panel_shape_l2' in report['shape_metrics']
+    assert all(c['pass'] for c in report['comparisons'])
+
+
+def test_parity_check_two_stage_and_expected(parity_env, tmp_path, monkeypatch):
+    root, data, shape_yaml, shape_pth, stitch_yaml, stitch_pth = parity_env
+    monkeypatch.chdir(tmp_path)
+    from garment_pattern_estimation_tpu.cli import parity_check
+
+    # first pass: record our own metrics as the "published" expectations —
+    # a second run must then PASS the 1% comparison against them
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--shape_pth', str(shape_pth), '--stitch_config', str(stitch_yaml),
+        '--stitch_pth', str(stitch_pth),
+        '--output', str(tmp_path / 'first.json')])
+    assert rc == 0
+    first = json.loads((tmp_path / 'first.json').read_text())
+    assert 'stitch_metrics' in first
+    assert 'stitch_f1' in first['stitch_metrics']
+
+    expected = dict(first['shape_metrics'])
+    expected['panel_shape_l2'] *= 1.005   # within 1%: must still PASS
+    (tmp_path / 'expected.json').write_text(json.dumps(expected))
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--shape_pth', str(shape_pth),
+        '--expected', str(tmp_path / 'expected.json'),
+        '--output', str(tmp_path / 'second.json')])
+    assert rc == 0
+
+    expected['panel_shape_l2'] *= 1.10    # push beyond tolerance: must FAIL
+    (tmp_path / 'expected.json').write_text(json.dumps(expected))
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--shape_pth', str(shape_pth),
+        '--expected', str(tmp_path / 'expected.json'),
+        '--output', str(tmp_path / 'third.json')])
+    assert rc == 1
