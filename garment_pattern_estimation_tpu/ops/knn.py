@@ -74,24 +74,29 @@ def knn_xla(points, k, query_chunk=512):
 _LANES = 128  # accumulators are lane-aligned; only the first k lanes are live
 
 
+_INT_BIG = jnp.iinfo(jnp.int32).max
+
+
 def _extract_topk(dists, col_ids, k):
     """Smallest-k (values, ids) of each row of `dists` (TM, C), returned in
     lane-aligned (TM, 128) arrays (slots beyond k stay BIG/0). Ascending
-    extraction with first-occurrence (lowest-index) tie-break."""
+    extraction with lowest-index tie-break (lax.top_k semantics).
+
+    Two cross-lane reductions per slot (min value, min id among hits) —
+    cross-lane reductions dominate the kernel's VPU time, so this form is
+    ~1.5x cheaper than the argmin+min+select formulation."""
     TM = dists.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
     out_d = jnp.full((TM, _LANES), _BIG, jnp.float32)
     out_i = jnp.zeros((TM, _LANES), jnp.int32)
     for slot in range(k):  # k is tiny (5): unrolled
-        pos = jnp.argmin(dists, axis=1)
-        val = jnp.min(dists, axis=1)
-        hit = col == pos[:, None]
-        picked = jnp.sum(jnp.where(hit, col_ids, 0), axis=1)
+        val = jnp.min(dists, axis=1)                               # (TM,)
+        hit = dists == val[:, None]
+        idx = jnp.min(jnp.where(hit, col_ids, _INT_BIG), axis=1)   # (TM,)
         slot_mask = lane == slot  # static per slot
         out_d = jnp.where(slot_mask, val[:, None], out_d)
-        out_i = jnp.where(slot_mask, picked[:, None], out_i)
-        dists = jnp.where(hit, _BIG, dists)
+        out_i = jnp.where(slot_mask, idx[:, None], out_i)
+        dists = jnp.where(col_ids == idx[:, None], _BIG, dists)
     return out_d, out_i
 
 
@@ -107,8 +112,7 @@ def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
     q_norm = jnp.sum(q * q, axis=-1, keepdims=True)          # (TM, 1)
     TM = q.shape[0]
 
-    def col_tile(t, carry):
-        acc_d, acc_i = carry
+    def tile_topk(t):
         col_base = t * tile_n
         keys = x_ref[0, pl.ds(col_base, tile_n), :]          # (TN, D)
         k_norm = jnp.sum(keys * keys, axis=-1)               # (TN,)
@@ -117,8 +121,11 @@ def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
             preferred_element_type=jnp.float32)              # (TM, TN)
         dists = q_norm + k_norm[None, :] - 2.0 * cross
         col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+        return _extract_topk(dists, col_ids, k)              # (TM, 128)
 
-        tile_d, tile_i = _extract_topk(dists, col_ids, k)    # (TM, 128)
+    def col_tile(t, carry):
+        acc_d, acc_i = carry
+        tile_d, tile_i = tile_topk(t)
         # merge: running top-k first -> earlier (lower-index) entries win
         # ties, matching lax.top_k
         merged_d = jnp.concatenate([acc_d, tile_d], axis=1)  # (TM, 256) aligned
@@ -126,8 +133,7 @@ def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
         return _extract_topk(merged_d, merged_i, k)
 
     if num_tiles == 1:
-        acc_d, acc_i = col_tile(0, (jnp.full((TM, _LANES), _BIG, jnp.float32),
-                                    jnp.zeros((TM, _LANES), jnp.int32)))
+        acc_d, acc_i = tile_topk(0)  # no merge pass needed
     else:
         acc_d, acc_i = jax.lax.fori_loop(
             0, num_tiles, col_tile,
