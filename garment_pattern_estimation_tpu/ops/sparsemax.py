@@ -12,8 +12,28 @@ import jax
 import jax.numpy as jnp
 
 
+_SORT_FREE_MAX_CLASSES = 64
+
+
 def _sparsemax_threshold(z):
-    """tau and support size for sparsemax along the last axis."""
+    """tau and support size for sparsemax along the last axis.
+
+    For small class counts (the attention head scores <=24 panel slots) the
+    sort is replaced by an O(P^2) comparison matrix — elementwise VPU work
+    instead of an XLA sort: element i is in the support iff
+    k_i * z_i > sum_i - 1 with k_i = |{j: z_j >= z_i}|, sum_i the sum of
+    those elements (the sorted-form support test evaluated at i's last tie
+    rank; the test is constant within a tie group)."""
+    if z.shape[-1] <= _SORT_FREE_MAX_CLASSES:
+        ge = (z[..., None, :] >= z[..., :, None]).astype(z.dtype)  # (..., P, P)
+        k_i = jnp.sum(ge, axis=-1)
+        sum_i = jnp.einsum('...ij,...j->...i', ge, z)
+        support = k_i * z > sum_i - 1.0
+        k_support = jnp.sum(support.astype(jnp.int32), axis=-1)
+        sum_support = jnp.sum(jnp.where(support, z, 0.0), axis=-1, keepdims=True)
+        tau = (sum_support - 1.0) / k_support[..., None].astype(z.dtype)
+        return tau, k_support
+
     z_sorted = jnp.sort(z, axis=-1)[..., ::-1]
     k = jnp.arange(1, z.shape[-1] + 1, dtype=z.dtype)
     z_cumsum = jnp.cumsum(z_sorted, axis=-1)
