@@ -7,9 +7,6 @@ from pathlib import Path
 import yaml
 
 from ..core import Properties
-from ..utils import enable_compilation_cache
-
-enable_compilation_cache()
 
 
 def load_yaml(path):
@@ -20,6 +17,11 @@ def load_yaml(path):
 def system_properties(path='./system.json'):
     """Machine-local paths (datasets_path, output) — reference: system.json.
     Falls back to ./data and ./output when the file is absent."""
+    # first device-touching moment of every CLI: enable the persistent
+    # compilation cache here (NOT at import time — fingerprinting initializes
+    # the backend, and `--help`/config validation must not touch the runtime)
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     if Path(path).exists():
         return Properties(path)
     props = Properties()

@@ -109,7 +109,10 @@ def _torch_replica_metrics(config, dataset, wrapper, model, shape_pth):
     ckpt = torch.load(shape_pth, map_location='cpu', weights_only=False)
     state = ckpt.get('model_state_dict', ckpt)
     state = {k.removeprefix('module.'): v for k, v in state.items()}
-    replica.load_state_dict(state, strict=False)
+    # strict: a key mismatch means the replica no longer mirrors the
+    # reference's module naming — that must fail loudly, not leave random
+    # weights that masquerade as an import bug
+    replica.load_state_dict(state, strict=True)
 
     # aggregate exactly like train/eval_utils.eval_metrics: unweighted mean
     # over batches, nan-valued metrics skipped per batch
@@ -170,6 +173,16 @@ def main(argv=None):
             stitch_cfg['dataset'], random_pairs_mode=False,
             data_folders=sorted(d.name for d in pred_test.iterdir()
                                 if d.is_dir()))
+        if 'standardize' not in stitch_data_cfg:
+            # the checkpoint was trained on inputs standardized with ITS
+            # training-set stats; recomputing stats from today's predictions
+            # shifts every first-layer activation and invalidates the
+            # comparison (reference: nn/experiment.py data_info path)
+            print('parity_check::WARNING::no `standardize` block in the '
+                  'stitch config — feature stats will be recomputed from the '
+                  'current predictions. For a faithful parity number, copy '
+                  'the f_shift/f_scale from the reference run config into '
+                  f'{args.stitch_config} (dataset.standardize).')
         stitch_dataset = GarmentStitchPairsDataset(
             pred_test, stitch_data_cfg, gt_caching=True, feature_caching=True)
         stitch_wrapper = DatasetWrapper(stitch_dataset, batch_size=1)

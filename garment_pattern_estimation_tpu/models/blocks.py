@@ -90,8 +90,14 @@ class EdgeConv(nn.Module):
             folded = jax.lax.stop_gradient(
                 fold_mlp_bn(self.get_variable('params', 'MLP_0'),
                             self.get_variable('batch_stats', 'MLP_0')))
+            # precision follows the module (f32 unless compute_dtype says
+            # otherwise): the fused kernel must not silently trade the <=1%
+            # reference-parity budget for speed
+            mlp_dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype \
+                else jnp.float32
             return fused_edgeconv(
                 jax.lax.stop_gradient(x), folded, k=self.k,
+                mlp_dtype=mlp_dtype,
                 interpret=jax.default_backend() != 'tpu')
 
         # kNN stays f32: near-tie neighbor ranking is precision-sensitive

@@ -11,11 +11,13 @@ grid step in VMEM:
   2. top-k extraction on packed ``(distance_bits | column)`` int32 values —
      one cross-lane min per neighbor slot (ascending distance, ties to the
      lower index; distance quantized to its top 21 mantissa-exponent bits);
-  3. per-slot neighbor gather as a one-hot matmul against the bf16 key tile
+  3. per-slot neighbor gather as a one-hot matmul against the key tile
      (MXU) — the (B, N, k, C) intermediate never exists;
   4. the edge MLP on [x_i ; x_j - x_i] with eval-mode BatchNorm folded into
      the weights (Dense -> ReLU -> BN ordering, nn/net_blocks.py:43-47),
-     bf16 matmuls with f32 accumulation;
+     matmuls in `mlp_dtype` with f32 accumulation (f32 default: exact w.r.t.
+     the unfused path AND measured faster than a bf16 variant, which pays
+     for a second low-precision key copy in VMEM);
   5. running max over the k neighbor slots.
 
 Inference/eval only: training needs batch BN statistics over all edges and
@@ -30,11 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .knn import GHOST as _GHOST, round_up as _round_up
+
 _IDX_BITS = 11                    # supports N_pad <= 2048 key columns
 _IDX_MASK = (1 << _IDX_BITS) - 1
 _INT_MAX = jnp.iinfo(jnp.int32).max
 _MAX_N_PAD = 1 << _IDX_BITS       # also the VMEM budget bound (~8 MB/step)
-_GHOST = 1e15                     # padded keys: pushed out of every top-k
 
 
 def fold_mlp_bn(mlp_params, mlp_stats, eps=1e-5):
@@ -64,10 +67,6 @@ def fold_mlp_bn(mlp_params, mlp_stats, eps=1e-5):
             - jnp.asarray(st['mean'], jnp.float32) * a
         a_prev, d_prev = a, d
     return layers, (a, d)
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def fused_edgeconv_supported(n_points, n_channels):
@@ -103,8 +102,18 @@ def _pad_vec(v, size):
     return jnp.zeros((1, size), jnp.float32).at[0, :v.shape[0]].set(v)
 
 
-def _fused_kernel(xf_ref, xb_ref, q_ref, *refs, k, n_layers, mlp_dtype):
-    """One grid step: EdgeConv output for TM query rows of one batch elem."""
+def _fused_kernel(*refs, k, n_layers, mlp_dtype, separate_lp):
+    """One grid step: EdgeConv output for TM query rows of one batch elem.
+    `separate_lp`: a low-precision copy of the keys rides along for the
+    gather/MLP; when mlp_dtype is f32 the f32 keys serve both roles (saves a
+    2 MB VMEM block + its pipeline double-buffer)."""
+    if separate_lp:
+        xf_ref, xb_ref, q_ref = refs[0], refs[1], refs[2]
+        refs = refs[3:]
+    else:
+        xf_ref, q_ref = refs[0], refs[1]
+        xb_ref = xf_ref
+        refs = refs[2:]
     layer_refs = refs[:2 * n_layers]
     a_ref, d_ref, o_ref = refs[-3], refs[-2], refs[-1]
 
@@ -153,7 +162,7 @@ def _fused_kernel(xf_ref, xb_ref, q_ref, *refs, k, n_layers, mlp_dtype):
     o_ref[0] = out
 
 
-def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.bfloat16, interpret=False):
+def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.float32, interpret=False):
     """x (B, N, C), folded edge-MLP weights -> EdgeConv features (B, N, out).
 
     `folded` is the output of `fold_mlp_bn` on the layer's Dense/BN params.
@@ -173,7 +182,7 @@ def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.bfloat16, interpret=False):
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - N), (0, c_pad - C)))
     if n_pad > N:
         xp = xp.at[:, N:, 0].set(_GHOST)
-    x_lp = xp.astype(mlp_dtype)
+    separate_lp = jnp.dtype(mlp_dtype) != jnp.float32
 
     padded_layers, (a, d) = _pad_edge_mlp(layers, affine, C, c_pad)
     h_out = a.shape[1]
@@ -188,18 +197,19 @@ def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.bfloat16, interpret=False):
         ]
 
     kernel = functools.partial(_fused_kernel, k=k, n_layers=n_layers,
-                               mlp_dtype=mlp_dtype)
+                               mlp_dtype=mlp_dtype, separate_lp=separate_lp)
+    keys_spec = pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
+                             memory_space=pltpu.VMEM)
+    x_inputs = (xp, xp.astype(mlp_dtype), xp) if separate_lp else (xp, xp)
+    x_specs = [keys_spec] * (len(x_inputs) - 1) + [
+        pl.BlockSpec((1, tile_m, c_pad), lambda bb, ii: (bb, ii, 0),
+                     memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         kernel,
         grid=(B, n_pad // tile_m),   # query tiles iterate fastest: the key
                                      # block (b, 0, 0) is fetched once per b
         in_specs=[
-            pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, c_pad), lambda bb, ii: (bb, ii, 0),
-                         memory_space=pltpu.VMEM),
+            *x_specs,
             *weight_specs,
             pl.BlockSpec(a.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(d.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
@@ -208,13 +218,13 @@ def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.bfloat16, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, h_out), jnp.float32),
         interpret=interpret,
-    )(xp, x_lp, xp, *weight_inputs, a, d)
+    )(*x_inputs, *weight_inputs, a, d)
 
     out_features = layers[-1][0].shape[1]
     return out[:, :N, :out_features]
 
 
-def fused_edgeconv_reference(x, folded, k, mlp_dtype=jnp.bfloat16):
+def fused_edgeconv_reference(x, folded, k, mlp_dtype=jnp.float32):
     """Pure-jnp oracle replicating the kernel's exact numerics (packed
     quantized neighbor selection, low-precision gather/MLP, folded BN) for
     parity tests against interpret/TPU runs."""

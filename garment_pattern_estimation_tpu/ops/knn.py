@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30  # plain float: jnp constants would be captured as kernel consts
+GHOST = 1e15  # padded keys get this coordinate: never enter any top-k
 
 
 def pairwise_sq_dists(queries, keys):
@@ -208,14 +209,14 @@ def knn_pallas(points, k, tile_m=256, tile_n=2048, interpret=False):
                          f'accumulator capacity ({_LANES})')
     B, N, D = points.shape
     k = min(k, N)
-    tile_m = min(tile_m, _round_up(N, 8))
-    tile_n = min(tile_n, _round_up(N, 128))
-    pad_n = _round_up(N, math.lcm(tile_m, tile_n))
-    pad_d = _round_up(D, 128)  # lane-align features
+    tile_m = min(tile_m, round_up(N, 8))
+    tile_n = min(tile_n, round_up(N, 128))
+    pad_n = round_up(N, math.lcm(tile_m, tile_n))
+    pad_d = round_up(D, 128)  # lane-align features
 
     x = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_n - N), (0, pad_d - D)))
     if pad_n > N:
-        x = x.at[:, N:, 0].set(1e15)  # ghost points: never selected
+        x = x.at[:, N:, 0].set(GHOST)  # ghost points: never selected
 
     grid = (B, pad_n // tile_m)
     stream_from_hbm = pad_n * pad_d * 4 > _VMEM_X_BUDGET and not interpret
@@ -254,7 +255,7 @@ def knn_pallas(points, k, tile_m=256, tile_n=2048, interpret=False):
     return idx[:, :N, :k]
 
 
-def _round_up(x, m):
+def round_up(x, m):
     return -(-x // m) * m
 
 

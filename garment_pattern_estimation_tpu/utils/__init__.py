@@ -75,14 +75,16 @@ def disable_compilation_cache(clear=False):
 
 # Symptoms of a compiled-executable/runtime mismatch: a cached AOT blob built
 # against a different libtpu, a CPU blob compiled for another host's machine
-# features, or a corrupted cache entry.
+# features, or a corrupted cache entry. Markers are kept SPECIFIC — a generic
+# FAILED_PRECONDITION (donated-buffer misuse, collective mismatch, ...) must
+# not wipe the cache.
 _POISON_MARKERS = (
     'libtpu version mismatch',
-    'failed_precondition',
     'cpu_aot_loader',
-    'machine features',
-    'deserializ',
+    'machine type used for xla',
+    'failed to deserialize',
     'incompatible serialized executable',
+    'serialized executable is incompatible',
 )
 
 
@@ -100,7 +102,10 @@ def run_with_cache_containment(fn, *args, **kwargs):
     except Exception as e:  # noqa: BLE001 — filtered by symptom below
         if not is_cache_poisoning(e):
             raise
+        import traceback
+        traceback.print_exc()
         print('utils::Warning::compilation-cache/runtime mismatch detected '
-              f'({type(e).__name__}); clearing the cache and recompiling fresh')
+              f'(original error above, {type(e).__name__}); clearing the '
+              'cache and recompiling fresh')
         disable_compilation_cache(clear=True)
         return fn(*args, **kwargs)

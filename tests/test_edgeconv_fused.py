@@ -81,15 +81,3 @@ def test_fused_module_path_matches_unfused(rng):
                                      mutable=['batch_stats'])
     assert 'batch_stats' in mutated
 
-
-def test_onecycle_schedule_never_nan():
-    """Regression: optax's onecycle emits NaN for every step when
-    transition_steps <= 3 (tiny-run configs); the trainer clamps it."""
-    from garment_pattern_estimation_tpu.train.trainer import Trainer
-
-    trainer = Trainer.__new__(Trainer)
-    trainer.setup = {'learning_rate': 2e-3, 'epochs': 2,
-                     'lr_scheduling': {'mode': '1cyclic'}, 'optimizer': 'Adam'}
-    trainer._make_optimizer(steps_per_epoch=1)
-    values = [float(trainer.schedule(i)) for i in range(6)]
-    assert all(np.isfinite(values)), values
