@@ -143,7 +143,16 @@ def _compare_rows(ours, other, keys, label):
 
 
 def main(argv=None):
+    import jax
     args = get_args(argv)
+    # parity runs compare against exact-f32 torch forwards: force full-f32
+    # matmuls (TPU DEFAULT rounds matmul inputs to bf16 — fine for training
+    # throughput, not for a 1%-budget metric comparison)
+    with jax.default_matmul_precision('highest'):
+        return _main_impl(args)
+
+
+def _main_impl(args):
     report = {'dataset_root': args.dataset_root, 'shape_pth': args.shape_pth}
 
     config, dataset, wrapper, model, variables = _build_shape_stack(args)

@@ -22,6 +22,7 @@ import flax.linen as nn
 from ..ops.knn import knn as knn_search, pairwise_sq_dists
 from ..ops.pooling import GLOBAL_POOLS, gather_neighbors
 from ..ops.edgeconv import fold_mlp_bn, fused_edgeconv, fused_edgeconv_supported
+from ..ops.knn_gather import knn_gather, knn_gather_supported
 
 
 def kaiming_normal_torch(key, shape, dtype=jnp.float32):
@@ -100,23 +101,34 @@ class EdgeConv(nn.Module):
                 mlp_dtype=mlp_dtype,
                 interpret=jax.default_backend() != 'tpu')
 
-        # kNN stays f32: near-tie neighbor ranking is precision-sensitive
-        idx = knn_search(jax.lax.stop_gradient(x).astype(jnp.float32), self.k,
-                         use_pallas=self.use_pallas)
-        neighbors = gather_neighbors(x, idx)                     # (B, N, k, C)
-        center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+        if pallas_on and not self.is_initializing() and knn_gather_supported(N):
+            # training/fallback path: fused kNN + gather kernel with a
+            # scatter-add Pallas backward; edge MLP + BatchNorm stay on flax
+            # so batch statistics and parameter gradients are identical to
+            # the unfused module. Neighbor layout is slot-major (B, k, N, C).
+            neighbors, _ = knn_gather(x, min(self.k, N),
+                                      jax.default_backend() != 'tpu')
+            center = jnp.broadcast_to(x[:, None, :, :], neighbors.shape)
+            k_axis = 1
+        else:
+            # kNN stays f32: near-tie neighbor ranking is precision-sensitive
+            idx = knn_search(jax.lax.stop_gradient(x).astype(jnp.float32),
+                             self.k, use_pallas=self.use_pallas)
+            neighbors = gather_neighbors(x, idx)                 # (B, N, k, C)
+            center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+            k_axis = 2
         edge_features = jnp.concatenate([center, neighbors - center], axis=-1)
 
         flat = edge_features.reshape(-1, 2 * C)
         out = mlp(flat, train=train)
-        out = out.reshape(B, N, self.k, -1)
+        out = out.reshape(*neighbors.shape[:3], -1)
 
         if self.aggr == 'max':
-            return jnp.max(out, axis=2)
+            return jnp.max(out, axis=k_axis)
         if self.aggr == 'mean':
-            return jnp.mean(out, axis=2)
+            return jnp.mean(out, axis=k_axis)
         if self.aggr == 'add':
-            return jnp.sum(out, axis=2)
+            return jnp.sum(out, axis=k_axis)
         raise ValueError(f'EdgeConv::unsupported aggregation {self.aggr}')
 
 

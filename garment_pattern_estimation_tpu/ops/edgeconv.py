@@ -7,17 +7,22 @@ twice — hundreds of MB of HBM for the (B, N, k, C) intermediate plus random
 -access reads. This kernel fuses the whole layer per (batch, query-tile)
 grid step in VMEM:
 
-  1. squared distances for a TM-row query tile against all keys (MXU, f32);
+  1. squared distances for a TM-row query tile against all keys via bf16
+     truncation-split chunks of the keys (ops/knn.py::split_bf16 — TPU
+     DEFAULT f32 dots round their inputs to bf16 and misrank near
+     neighbors; the split products are exact on the MXU, leaving only the
+     ~2^-14 split residual) plus exact f32 norms precomputed in XLA;
   2. top-k extraction on packed ``(distance_bits | column)`` int32 values —
      one cross-lane min per neighbor slot (ascending distance, ties to the
      lower index; distance quantized to its top 21 mantissa-exponent bits);
-  3. per-slot neighbor gather as a one-hot matmul against the key tile
-     (MXU) — the (B, N, k, C) intermediate never exists;
+  3. per-slot neighbor gather as one-hot matmuls against the key chunks
+     (MXU) — the (B, N, k, C) intermediate never exists. Slot 0 is the
+     query itself (self-inclusive kNN): no gather at all;
   4. the edge MLP on [x_i ; x_j - x_i] with eval-mode BatchNorm folded into
-     the weights (Dense -> ReLU -> BN ordering, nn/net_blocks.py:43-47),
-     matmuls in `mlp_dtype` with f32 accumulation (f32 default: exact w.r.t.
-     the unfused path AND measured faster than a bf16 variant, which pays
-     for a second low-precision key copy in VMEM);
+     the weights (Dense -> ReLU -> BN ordering, nn/net_blocks.py:43-47):
+     truncation-cast activations x bf16 weights with f32 accumulation —
+     the same precision class as the unfused path's DEFAULT dots, at half
+     the VMEM traffic;
   5. running max over the k neighbor slots.
 
 Inference/eval only: training needs batch BN statistics over all edges and
@@ -32,7 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .knn import GHOST as _GHOST, round_up as _round_up
+from .knn import (GHOST as _GHOST, round_up as _round_up,
+                  split_bf16 as _split_bf16,
+                  cross_from_splits as _cross_from_splits,
+                  gather_from_splits as _gather_from_splits,
+                  batched_cross_from_splits as _oracle_cross)
 
 _IDX_BITS = 11                    # supports N_pad <= 2048 key columns
 _IDX_MASK = (1 << _IDX_BITS) - 1
@@ -102,32 +111,30 @@ def _pad_vec(v, size):
     return jnp.zeros((1, size), jnp.float32).at[0, :v.shape[0]].set(v)
 
 
-def _fused_kernel(*refs, k, n_layers, mlp_dtype, separate_lp):
+def _fused_kernel(*refs, k, n_layers, mlp_dtype):
     """One grid step: EdgeConv output for TM query rows of one batch elem.
-    `separate_lp`: a low-precision copy of the keys rides along for the
-    gather/MLP; when mlp_dtype is f32 the f32 keys serve both roles (saves a
-    2 MB VMEM block + its pipeline double-buffer)."""
-    if separate_lp:
-        xf_ref, xb_ref, q_ref = refs[0], refs[1], refs[2]
-        refs = refs[3:]
-    else:
-        xf_ref, q_ref = refs[0], refs[1]
-        xb_ref = xf_ref
-        refs = refs[2:]
+
+    Distances and gathers run on bf16 hi/lo truncation splits of the keys
+    (ops/knn.py::split_bf16, pre-split and pre-cast on the XLA side): TPU
+    DEFAULT f32 dots round their inputs to bf16, which misranks near
+    neighbors and pre-rounds gathered values (edge features x_j - x_i then
+    cancel catastrophically). Split products are exact on the MXU with f32
+    accumulation; key norms arrive precomputed at exact f32."""
+    khi_ref, klo_ref, knorm_ref, q_ref = refs[:4]
+    refs = refs[4:]
     layer_refs = refs[:2 * n_layers]
     a_ref, d_ref, o_ref = refs[-3], refs[-2], refs[-1]
 
-    keys = xf_ref[0]                                         # (N_pad, C_pad)
-    keys_lp = xb_ref[0]                                      # low-precision
-    q = q_ref[0]                                             # (TM, C_pad)
+    k_chunks = [khi_ref[0], klo_ref[0]]                      # (N_pad, C_pad) bf16
+    q = q_ref[0]                                             # (TM, C_pad) f32
 
-    # -- distances (f32, MXU) --
+    # -- distances: ~2^-14 operand accuracy (documented in PARITY.md) --
     q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
-    k_norm = jnp.sum(keys * keys, axis=-1)
-    cross = jax.lax.dot_general(
-        q, keys, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dists = jnp.maximum(q_norm + k_norm[None, :] - 2.0 * cross, 0.0)
+    k_norm = knorm_ref[0]                                    # (1, N_pad) f32
+    q_chunks = [c.astype(jnp.bfloat16)
+                for c in _split_bf16(q, pltpu.bitcast)]      # lossless casts
+    cross = _cross_from_splits(q_chunks, k_chunks)
+    dists = jnp.maximum(q_norm + k_norm - 2.0 * cross, 0.0)
 
     # -- pack (distance | column index): non-negative f32 bits are monotone,
     # so one int min per slot yields the nearest remaining neighbor with
@@ -136,27 +143,36 @@ def _fused_kernel(*refs, k, n_layers, mlp_dtype, separate_lp):
     bits = pltpu.bitcast(dists, jnp.int32)
     packed = (bits & ~_IDX_MASK) | col
 
-    q_lp = q.astype(mlp_dtype)
+    # the f32 path gathers hi+lo chunks (residual 2^-14, below the edge
+    # MLP's own bf16 input rounding); the bf16 path gathers the top chunk
+    # only — deliberately bf16-precision values
+    n_chunks = 1 if jnp.dtype(mlp_dtype) != jnp.float32 else 2
     out = None
     for _slot in range(k):                                    # k is tiny: unrolled
         nearest = jnp.min(packed, axis=1)                     # (TM,)
         hit = packed == nearest[:, None]                      # one-hot (TM, N_pad)
         packed = jnp.where(hit, _INT_MAX, packed)
 
-        nbr = jax.lax.dot_general(                            # gather via MXU
-            hit.astype(mlp_dtype), keys_lp,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(mlp_dtype)
+        if _slot == 0:
+            # self-inclusive kNN: slot 0 is the query itself — no gather.
+            # (An exact-duplicate point may occupy slot 0 instead; its
+            # coordinates are identical, so the features are unchanged.)
+            nbr = q
+        else:
+            nbr = _gather_from_splits(hit.astype(jnp.bfloat16),
+                                      k_chunks[:n_chunks])
 
-        h = jnp.concatenate([q_lp, nbr - q_lp], axis=1)       # (TM, 2*C_pad)
+        h = jnp.concatenate([q, nbr - q], axis=1)             # f32 (TM, 2*C_pad)
         for layer in range(n_layers):
             w_ref, b_ref = layer_refs[2 * layer], layer_refs[2 * layer + 1]
+            # truncation-cast (never elided: bit ops) -> the bf16 operand
+            # cast is lossless on every backend; same precision class as
+            # the unfused path's internal DEFAULT-dot rounding
+            h_bf = _split_bf16(h, pltpu.bitcast, terms=1)[0].astype(jnp.bfloat16)
             z = jax.lax.dot_general(
-                h, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                h_bf, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b_ref[:]
             h = jnp.maximum(z, 0.0)
-            if layer + 1 < n_layers:
-                h = h.astype(mlp_dtype)
         o = h * a_ref[:] + d_ref[:]                           # f32 (TM, H_out)
         out = o if out is None else jnp.maximum(out, o)
     o_ref[0] = out
@@ -182,7 +198,10 @@ def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.float32, interpret=False):
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - N), (0, c_pad - C)))
     if n_pad > N:
         xp = xp.at[:, N:, 0].set(_GHOST)
-    separate_lp = jnp.dtype(mlp_dtype) != jnp.float32
+    # keys pre-split into bf16 truncation chunks + exact f32 norms (XLA side)
+    k_hi, k_lo = (c.astype(jnp.bfloat16) for c in _split_bf16(xp))
+    k_norm = jnp.sum(xp * xp, axis=-1, keepdims=True)  # (B, n_pad, 1)
+    k_norm = jnp.swapaxes(k_norm, 1, 2)                # (B, 1, n_pad)
 
     padded_layers, (a, d) = _pad_edge_mlp(layers, affine, C, c_pad)
     h_out = a.shape[1]
@@ -190,18 +209,21 @@ def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.float32, interpret=False):
 
     weight_inputs, weight_specs = [], []
     for w, b in padded_layers:
-        weight_inputs += [w.astype(mlp_dtype), b]
+        weight_inputs += [w.astype(jnp.bfloat16), b]
         weight_specs += [
             pl.BlockSpec(w.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b.shape, lambda bb, ii: (0, 0), memory_space=pltpu.VMEM),
         ]
 
     kernel = functools.partial(_fused_kernel, k=k, n_layers=n_layers,
-                               mlp_dtype=mlp_dtype, separate_lp=separate_lp)
+                               mlp_dtype=mlp_dtype)
     keys_spec = pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
                              memory_space=pltpu.VMEM)
-    x_inputs = (xp, xp.astype(mlp_dtype), xp) if separate_lp else (xp, xp)
-    x_specs = [keys_spec] * (len(x_inputs) - 1) + [
+    x_inputs = (k_hi, k_lo, k_norm, xp)
+    x_specs = [
+        keys_spec, keys_spec,
+        pl.BlockSpec((1, 1, n_pad), lambda bb, ii: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_m, c_pad), lambda bb, ii: (bb, ii, 0),
                      memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
@@ -234,26 +256,33 @@ def fused_edgeconv_reference(x, folded, k, mlp_dtype=jnp.float32):
     xf = x.astype(jnp.float32)
 
     q_norm = jnp.sum(xf * xf, axis=-1)
-    cross = jnp.einsum('bmc,bnc->bmn', xf, xf, preferred_element_type=jnp.float32)
-    dists = jnp.maximum(q_norm[:, :, None] + q_norm[:, None, :] - 2 * cross, 0.0)
+    chunks = _split_bf16(xf)
+    dists = jnp.maximum(
+        q_norm[:, :, None] + q_norm[:, None, :] - 2 * _oracle_cross(chunks),
+        0.0)
     bits = jax.lax.bitcast_convert_type(dists, jnp.int32)
     col = jnp.arange(N, dtype=jnp.int32)
     packed = (bits & ~_IDX_MASK) | col[None, None, :]
     packed_sorted = jnp.sort(packed, axis=-1)[..., :k]
     idx = packed_sorted & _IDX_MASK                              # (B, N, k)
 
-    x_lp = xf.astype(mlp_dtype)
+    # the kernel gathers the top chunks (hi+lo for f32, hi only for bf16)
+    x_lp = chunks[0] + chunks[1] if jnp.dtype(mlp_dtype) == jnp.float32 \
+        else chunks[0]
     nbr = jnp.take_along_axis(x_lp[:, None, :, :],
                               idx[..., None], axis=2)            # (B, N, k, C)
-    # the kernel gathers via a one-hot matmul with f32 accumulation, then
-    # casts back: identical to a direct low-precision gather
-    center = jnp.broadcast_to(x_lp[:, :, None, :], nbr.shape)
+    # slot 0 is the query itself (self-inclusive kNN): the kernel skips its
+    # gather and uses the full-f32 query row directly
+    nbr = nbr.at[:, :, 0, :].set(xf)
+    center = jnp.broadcast_to(xf[:, :, None, :], nbr.shape)
     h = jnp.concatenate([center, nbr - center], axis=-1)
     for i, (w, b) in enumerate(layers):
-        z = jnp.einsum('bnkc,ch->bnkh', h.astype(mlp_dtype), w.astype(mlp_dtype),
+        # mirror the kernel: truncation-cast activations x bf16 weights —
+        # every product is exact on every backend
+        h_t = _split_bf16(h, terms=1)[0]
+        w_bf = w.astype(jnp.bfloat16).astype(jnp.float32)
+        z = jnp.einsum('bnkc,ch->bnkh', h_t, w_bf,
                        preferred_element_type=jnp.float32) + b
         h = jnp.maximum(z, 0.0)
-        if i + 1 < len(layers):
-            h = h.astype(mlp_dtype)
     out = h * a + d
     return jnp.max(out, axis=2)

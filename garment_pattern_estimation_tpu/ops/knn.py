@@ -31,16 +31,102 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30  # plain float: jnp constants would be captured as kernel consts
 GHOST = 1e15  # padded keys get this coordinate: never enter any top-k
 
+# Selection-critical dots must not run at DEFAULT precision: TPU f32 matmuls
+# round the *inputs* to bf16 (measured: abs error ~0.4% of the operand norms,
+# both in XLA and Mosaic), which misranks near neighbors — the reference's
+# kNN (torch-cluster) is exact f32.
+#
+# At the XLA level the fix is Precision.HIGHEST (full-f32 multi-pass on the
+# MXU). Inside Pallas kernels HIGHEST's decomposition scratch blows the
+# 16 MB scoped-VMEM budget next to VMEM-resident key blocks, so kernels use
+# an explicit truncation split instead (`split_bf16` + `cross_from_splits`).
+#
+# The split stays in f32 *dtype* but truncates each chunk to the top 8
+# significant mantissa bits — exactly bf16-representable, so every backend's
+# internal bf16 input-rounding of a DEFAULT dot passes the chunks through
+# losslessly. That makes kernels, jnp oracles, interpret mode and real
+# Mosaic agree on the products bitwise (real bf16 *casts* cannot be used:
+# Pallas interpret mode elides them while its dots still round operands).
+EXACT = jax.lax.Precision.HIGHEST
+
+# sign + exponent + top 7 fraction bits (plain int: jnp constants would be
+# captured as kernel consts)
+_TRUNC_MASK = ~0xFFFF
+
+
+def split_bf16(x, bitcast=jax.lax.bitcast_convert_type, terms=2):
+    """f32 -> `terms` f32 chunks, each with <=8 significant mantissa bits
+    (sum ~= x with relative residual ~2^(-7*terms)). Inside Pallas kernels
+    pass `bitcast=pltpu.bitcast`."""
+    chunks, r = [], x
+    for _ in range(terms):
+        c = bitcast(bitcast(r, jnp.int32) & _TRUNC_MASK, jnp.float32)
+        chunks.append(c)
+        r = r - c  # exact: c is r truncated (Sterbenz)
+    return chunks
+
+
+# partial products kept per split order: pairs whose magnitude exceeds the
+# split residual (2-term: lo*lo is at the ~2^-14 residual floor, dropped;
+# 3-term: i + j <= 2)
+_CROSS_PAIRS = {2: ((0, 0), (0, 1), (1, 0)),
+                3: ((0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (2, 0))}
+
+
+def cross_from_splits(q_chunks, k_chunks):
+    """q @ keys^T in f32 from truncation-split operands (both (rows, D);
+    contraction over the last dim). Every partial product is exact on the
+    MXU (bf16 x bf16 into f32); only the split residuals are lost."""
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc = None
+    for i, j in _CROSS_PAIRS[len(q_chunks)]:
+        p = dot(q_chunks[i], k_chunks[j])
+        acc = p if acc is None else acc + p
+    return acc
+
+
+def batched_cross_from_splits(q_chunks, k_chunks=None):
+    """(B, M, C) x (B, N, C) -> (B, M, N) cross products from truncation
+    splits — the jnp-oracle mirror of `cross_from_splits` (same partial
+    products, so quantized selections agree with the kernels)."""
+    if k_chunks is None:
+        k_chunks = q_chunks
+    acc = None
+    for i, j in _CROSS_PAIRS[len(q_chunks)]:
+        p = jnp.einsum('bmc,bnc->bmn', q_chunks[i], k_chunks[j],
+                       preferred_element_type=jnp.float32)
+        acc = p if acc is None else acc + p
+    return acc
+
+
+def gather_from_splits(hit, k_chunks):
+    """One-hot rows (M, N) x truncation-split keys (N, D) -> selected key
+    rows in f32: each output element is the f32 sum of the exactly-selected
+    chunks (reconstruction error = the split residual only)."""
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc = None
+    for c in k_chunks:
+        p = dot(hit, c)
+        acc = p if acc is None else acc + p
+    return acc
+
 
 def pairwise_sq_dists(queries, keys):
     """(..., M, D) x (..., N, D) -> (..., M, N) squared euclidean distances.
 
-    Formulated as norms + a matmul so XLA tiles it onto the MXU.
+    Formulated as norms + a matmul so XLA tiles it onto the MXU; the matmul
+    runs at full f32 (distances feed discrete neighbor selection).
     """
     q_norm = jnp.sum(queries * queries, axis=-1, keepdims=True)
     k_norm = jnp.sum(keys * keys, axis=-1, keepdims=True)
     cross = jnp.einsum('...md,...nd->...mn', queries, keys,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=EXACT)
     return q_norm + jnp.swapaxes(k_norm, -1, -2) - 2.0 * cross
 
 
@@ -111,15 +197,14 @@ def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
     num_tiles = n_points // tile_n
     q = q_ref[0]                                             # (TM, D)
     q_norm = jnp.sum(q * q, axis=-1, keepdims=True)          # (TM, 1)
+    q_chunks = split_bf16(q, pltpu.bitcast, terms=3)
     TM = q.shape[0]
 
     def tile_topk(t):
         col_base = t * tile_n
         keys = x_ref[0, pl.ds(col_base, tile_n), :]          # (TN, D)
         k_norm = jnp.sum(keys * keys, axis=-1)               # (TN,)
-        cross = jax.lax.dot_general(
-            q, keys, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (TM, TN)
+        cross = cross_from_splits(q_chunks, split_bf16(keys, pltpu.bitcast, terms=3))
         dists = q_norm + k_norm[None, :] - 2.0 * cross
         col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
         return _extract_topk(dists, col_ids, k)              # (TM, 128)
@@ -152,6 +237,7 @@ def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_point
     num_tiles = n_points // tile_n
     q = q_ref[0]
     q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
+    q_chunks = split_bf16(q, pltpu.bitcast, terms=3)
     TM = q.shape[0]
 
     def tile_dma(slot, t):
@@ -172,9 +258,7 @@ def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_point
         tile_dma(slot, t).wait()
         keys = keys_buf[slot]
         k_norm = jnp.sum(keys * keys, axis=-1)
-        cross = jax.lax.dot_general(
-            q, keys, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        cross = cross_from_splits(q_chunks, split_bf16(keys, pltpu.bitcast, terms=3))
         dists = q_norm + k_norm[None, :] - 2.0 * cross
         col_base = t * tile_n
         col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
@@ -196,7 +280,7 @@ def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_point
 _VMEM_X_BUDGET = 6 * 1024 * 1024
 
 
-def knn_pallas(points, k, tile_m=256, tile_n=2048, interpret=False):
+def knn_pallas(points, k, tile_m=128, tile_n=1024, interpret=False):
     """Pallas tiled top-k kNN: indices (B, N, k), self included.
 
     Pads N to a tile multiple with far-away ghost points so padded keys never

@@ -10,6 +10,16 @@ from garment_pattern_estimation_tpu.ops.edgeconv import (
 from garment_pattern_estimation_tpu.models.blocks import EdgeConv
 
 
+def _tiefree_points(rng, shape):
+    """Clouds whose distance computations are *exact* in f32: 10-bit-mantissa
+    coordinates make every product 20-bit and every norm/cross sum <=24-bit,
+    so the kernel, the jnp oracle, and exact top-k all compute bitwise-equal
+    distances — no near-tie selection flips — while values wider than 8 bits
+    still exercise the hi/lo truncation-split path."""
+    return jnp.asarray(
+        rng.integers(-512, 512, size=shape).astype(np.float32) * 2.0 ** -5)
+
+
 def _synthetic_mlp(rng, sizes):
     """Flax-layout MLP params/stats (Dense_i / BatchNorm_i) with non-trivial
     BN statistics so the folding is actually exercised."""
@@ -54,7 +64,7 @@ def test_fused_kernel_matches_oracle_interpret(rng, n_points):
     C = 6
     params, stats = _synthetic_mlp(rng, [(2 * C, 24), (24, 24), (24, 16)])
     folded = fold_mlp_bn(params, stats)
-    x = jnp.asarray(rng.normal(size=(2, n_points, C)).astype(np.float32))
+    x = _tiefree_points(rng, (2, n_points, C))
 
     ref = fused_edgeconv_reference(x, folded, k=5)
     out = fused_edgeconv(x, folded, k=5, interpret=True)
@@ -65,7 +75,7 @@ def test_fused_kernel_matches_oracle_interpret(rng, n_points):
 def test_fused_module_path_matches_unfused(rng):
     """Module-level: eval forward through the fused kernel (interpret mode on
     CPU) vs the unfused gather+MLP path; bf16 gather/MLP tolerance."""
-    x = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32))
+    x = _tiefree_points(rng, (2, 150, 3))
     fused = EdgeConv([24, 24, 16], k=5, use_pallas=True)
     plain = EdgeConv([24, 24, 16], k=5, use_pallas=False)
     variables = plain.init({'params': jax.random.PRNGKey(0)}, x, train=False)
