@@ -19,6 +19,7 @@ Run directory layout:
 from __future__ import annotations
 
 import json
+import math
 import time
 import uuid
 from pathlib import Path
@@ -34,16 +35,20 @@ def _to_jsonable(value):
     if isinstance(value, (list, tuple)):
         return [_to_jsonable(v) for v in value]
     if isinstance(value, np.ndarray):
-        return value.tolist()
+        return _to_jsonable(value.tolist())
     if isinstance(value, (np.integer,)):
         return int(value)
     if isinstance(value, (np.floating,)):
-        return float(value)
+        value = float(value)
+    if isinstance(value, float) and not math.isfinite(value):
+        # NaN/Inf are not valid strict JSON (correct-panel-restricted
+        # metrics are NaN when no pattern qualifies): record null
+        return None
     if isinstance(value, (np.bool_,)):
         return bool(value)
     if hasattr(value, 'item') and not isinstance(value, (str, bytes)):
         try:
-            return value.item()
+            return _to_jsonable(value.item())
         except Exception:
             return str(value)
     return value

@@ -41,12 +41,20 @@ from .knn import (GHOST as _GHOST, round_up as _round_up,
                   split_bf16 as _split_bf16,
                   cross_from_splits as _cross_from_splits,
                   gather_from_splits as _gather_from_splits,
-                  batched_cross_from_splits as _oracle_cross)
+                  batched_cross_from_splits as _oracle_cross,
+                  tree_sum as _tree_sum, _tree_min)
 
 _IDX_BITS = 11                    # supports N_pad <= 2048 key columns
 _IDX_MASK = (1 << _IDX_BITS) - 1
 _INT_MAX = jnp.iinfo(jnp.int32).max
 _MAX_N_PAD = 1 << _IDX_BITS       # also the VMEM budget bound (~8 MB/step)
+
+# feature dims at or below this skip the MXU entirely: distances accumulate
+# per-dim on the VPU (exact f32) and gathers are per-dim one-hot tree-sums
+# (exact) — the first EdgeConv layer runs on raw xyz (C=3), where a matmul
+# formulation pads 3 -> 128 lanes and then multiplies that by split partial
+# products
+_DIRECT_C_MAX = 16
 
 
 def fold_mlp_bn(mlp_params, mlp_stats, eps=1e-5):
@@ -111,30 +119,49 @@ def _pad_vec(v, size):
     return jnp.zeros((1, size), jnp.float32).at[0, :v.shape[0]].set(v)
 
 
-def _fused_kernel(*refs, k, n_layers, mlp_dtype):
+def _fused_kernel(*refs, k, n_layers, mlp_dtype, d_live=None):
     """One grid step: EdgeConv output for TM query rows of one batch elem.
 
-    Distances and gathers run on bf16 hi/lo truncation splits of the keys
-    (ops/knn.py::split_bf16, pre-split and pre-cast on the XLA side): TPU
-    DEFAULT f32 dots round their inputs to bf16, which misranks near
-    neighbors and pre-rounds gathered values (edge features x_j - x_i then
-    cancel catastrophically). Split products are exact on the MXU with f32
-    accumulation; key norms arrive precomputed at exact f32."""
-    khi_ref, klo_ref, knorm_ref, q_ref = refs[:4]
-    refs = refs[4:]
+    Wide features (d_live=None): distances and gathers run on bf16 hi/lo
+    truncation splits of the keys (ops/knn.py::split_bf16, pre-split and
+    pre-cast on the XLA side): TPU DEFAULT f32 dots round their inputs to
+    bf16, which misranks near neighbors and pre-rounds gathered values
+    (edge features x_j - x_i then cancel catastrophically). Split products
+    are exact on the MXU with f32 accumulation; key norms arrive
+    precomputed at exact f32.
+
+    Small features (d_live set — the raw-xyz first layer): distances
+    accumulate per-dim on the VPU and gathers are per-dim one-hot
+    tree-sums against keys transposed to (D_sub, N_pad) — both exact f32,
+    no MXU involved."""
+    if d_live is not None:
+        kt_ref, q_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        khi_ref, klo_ref, knorm_ref, q_ref = refs[:4]
+        refs = refs[4:]
     layer_refs = refs[:2 * n_layers]
     a_ref, d_ref, o_ref = refs[-3], refs[-2], refs[-1]
 
-    k_chunks = [khi_ref[0], klo_ref[0]]                      # (N_pad, C_pad) bf16
     q = q_ref[0]                                             # (TM, C_pad) f32
+    TM, c_pad = q.shape
 
-    # -- distances: ~2^-14 operand accuracy (documented in PARITY.md) --
-    q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
-    k_norm = knorm_ref[0]                                    # (1, N_pad) f32
-    q_chunks = [c.astype(jnp.bfloat16)
-                for c in _split_bf16(q, pltpu.bitcast)]      # lossless casts
-    cross = _cross_from_splits(q_chunks, k_chunks)
-    dists = jnp.maximum(q_norm + k_norm - 2.0 * cross, 0.0)
+    if d_live is not None:
+        # -- distances: exact f32, elementwise on the VPU --
+        dists = None
+        for dim in range(d_live):                            # D is tiny: unrolled
+            diff = q[:, dim][:, None] - kt_ref[0, dim, :][None, :]
+            sq = diff * diff
+            dists = sq if dists is None else dists + sq
+    else:
+        k_chunks = [khi_ref[0], klo_ref[0]]                  # (N_pad, C_pad) bf16
+        # -- distances: ~2^-14 operand accuracy (documented in PARITY.md) --
+        q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
+        k_norm = knorm_ref[0]                                # (1, N_pad) f32
+        q_chunks = [c.astype(jnp.bfloat16)
+                    for c in _split_bf16(q, pltpu.bitcast)]  # lossless casts
+        cross = _cross_from_splits(q_chunks, k_chunks)
+        dists = jnp.maximum(q_norm + k_norm - 2.0 * cross, 0.0)
 
     # -- pack (distance | column index): non-negative f32 bits are monotone,
     # so one int min per slot yields the nearest remaining neighbor with
@@ -147,22 +174,29 @@ def _fused_kernel(*refs, k, n_layers, mlp_dtype):
     # MLP's own bf16 input rounding); the bf16 path gathers the top chunk
     # only — deliberately bf16-precision values
     n_chunks = 1 if jnp.dtype(mlp_dtype) != jnp.float32 else 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, c_pad), 1)
     out = None
     for _slot in range(k):                                    # k is tiny: unrolled
-        nearest = jnp.min(packed, axis=1)                     # (TM,)
-        hit = packed == nearest[:, None]                      # one-hot (TM, N_pad)
+        nearest = _tree_min(packed)                           # (TM, 1)
+        hit = packed == nearest                               # one-hot (TM, N_pad)
         packed = jnp.where(hit, _INT_MAX, packed)
 
+        # slot 0 is the query itself (self-inclusive kNN) — no gather.
+        # (An exact-duplicate point may occupy slot 0 instead; its
+        # coordinates are identical, so the features are unchanged.)
         if _slot == 0:
-            # self-inclusive kNN: slot 0 is the query itself — no gather.
-            # (An exact-duplicate point may occupy slot 0 instead; its
-            # coordinates are identical, so the features are unchanged.)
             nbr = q
+        elif d_live is not None:
+            # exact per-dim gather: one nonzero per row -> tree-sum is exact
+            nbr = jnp.zeros((TM, c_pad), jnp.float32)
+            for dim in range(d_live):
+                v = _tree_sum(jnp.where(hit, kt_ref[0, dim, :][None, :], 0.0))
+                nbr = jnp.where(lane == dim, v, nbr)
         else:
             nbr = _gather_from_splits(hit.astype(jnp.bfloat16),
                                       k_chunks[:n_chunks])
-
         h = jnp.concatenate([q, nbr - q], axis=1)             # f32 (TM, 2*C_pad)
+
         for layer in range(n_layers):
             w_ref, b_ref = layer_refs[2 * layer], layer_refs[2 * layer + 1]
             # truncation-cast (never elided: bit ops) -> the bf16 operand
@@ -198,11 +232,8 @@ def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.float32, interpret=False):
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - N), (0, c_pad - C)))
     if n_pad > N:
         xp = xp.at[:, N:, 0].set(_GHOST)
-    # keys pre-split into bf16 truncation chunks + exact f32 norms (XLA side)
-    k_hi, k_lo = (c.astype(jnp.bfloat16) for c in _split_bf16(xp))
-    k_norm = jnp.sum(xp * xp, axis=-1, keepdims=True)  # (B, n_pad, 1)
-    k_norm = jnp.swapaxes(k_norm, 1, 2)                # (B, 1, n_pad)
 
+    d_live = C if C <= _DIRECT_C_MAX else None
     padded_layers, (a, d) = _pad_edge_mlp(layers, affine, C, c_pad)
     h_out = a.shape[1]
     n_layers = len(padded_layers)
@@ -216,16 +247,32 @@ def fused_edgeconv(x, folded, k, *, mlp_dtype=jnp.float32, interpret=False):
         ]
 
     kernel = functools.partial(_fused_kernel, k=k, n_layers=n_layers,
-                               mlp_dtype=mlp_dtype)
-    keys_spec = pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
-                             memory_space=pltpu.VMEM)
-    x_inputs = (k_hi, k_lo, k_norm, xp)
-    x_specs = [
-        keys_spec, keys_spec,
-        pl.BlockSpec((1, 1, n_pad), lambda bb, ii: (bb, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_m, c_pad), lambda bb, ii: (bb, ii, 0),
-                     memory_space=pltpu.VMEM)]
+                               mlp_dtype=mlp_dtype, d_live=d_live)
+    q_spec = pl.BlockSpec((1, tile_m, c_pad), lambda bb, ii: (bb, ii, 0),
+                          memory_space=pltpu.VMEM)
+    if d_live is not None:
+        # small-C path: keys transposed to (D_sub, N_pad) — exact f32 VPU
+        # distances + gathers in the kernel, no splits and no norms
+        d_sub = _round_up(C, 8)
+        keys_t = jnp.swapaxes(xp[:, :, :d_sub], 1, 2)  # (B, d_sub, n_pad)
+        x_inputs = (keys_t, xp)
+        x_specs = [
+            pl.BlockSpec((1, d_sub, n_pad), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            q_spec]
+    else:
+        # keys pre-split into bf16 truncation chunks + exact f32 norms
+        k_hi, k_lo = (c.astype(jnp.bfloat16) for c in _split_bf16(xp))
+        k_norm = jnp.sum(xp * xp, axis=-1, keepdims=True)  # (B, n_pad, 1)
+        k_norm = jnp.swapaxes(k_norm, 1, 2)                # (B, 1, n_pad)
+        keys_spec = pl.BlockSpec((1, n_pad, c_pad), lambda bb, ii: (bb, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        x_inputs = (k_hi, k_lo, k_norm, xp)
+        x_specs = [
+            keys_spec, keys_spec,
+            pl.BlockSpec((1, 1, n_pad), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            q_spec]
     out = pl.pallas_call(
         kernel,
         grid=(B, n_pad // tile_m),   # query tiles iterate fastest: the key
@@ -255,20 +302,30 @@ def fused_edgeconv_reference(x, folded, k, mlp_dtype=jnp.float32):
     k = min(k, N)
     xf = x.astype(jnp.float32)
 
-    q_norm = jnp.sum(xf * xf, axis=-1)
-    chunks = _split_bf16(xf)
-    dists = jnp.maximum(
-        q_norm[:, :, None] + q_norm[:, None, :] - 2 * _oracle_cross(chunks),
-        0.0)
+    if C <= _DIRECT_C_MAX:
+        # small-C path: exact f32 distances (per-dim accumulation, matching
+        # the kernel's VPU order) and exact gathered values
+        dists = None
+        for dim in range(C):
+            diff = xf[:, :, None, dim] - xf[:, None, :, dim]
+            sq = diff * diff
+            dists = sq if dists is None else dists + sq
+        x_lp = xf
+    else:
+        q_norm = jnp.sum(xf * xf, axis=-1)
+        chunks = _split_bf16(xf)
+        dists = jnp.maximum(
+            q_norm[:, :, None] + q_norm[:, None, :] - 2 * _oracle_cross(chunks),
+            0.0)
+        # the kernel gathers the top chunks (hi+lo for f32, hi only for bf16)
+        x_lp = chunks[0] + chunks[1] if jnp.dtype(mlp_dtype) == jnp.float32 \
+            else chunks[0]
     bits = jax.lax.bitcast_convert_type(dists, jnp.int32)
     col = jnp.arange(N, dtype=jnp.int32)
     packed = (bits & ~_IDX_MASK) | col[None, None, :]
     packed_sorted = jnp.sort(packed, axis=-1)[..., :k]
     idx = packed_sorted & _IDX_MASK                              # (B, N, k)
 
-    # the kernel gathers the top chunks (hi+lo for f32, hi only for bf16)
-    x_lp = chunks[0] + chunks[1] if jnp.dtype(mlp_dtype) == jnp.float32 \
-        else chunks[0]
     nbr = jnp.take_along_axis(x_lp[:, None, :, :],
                               idx[..., None], axis=2)            # (B, N, k, C)
     # slot 0 is the query itself (self-inclusive kNN): the kernel skips its

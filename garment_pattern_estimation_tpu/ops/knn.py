@@ -177,14 +177,116 @@ def _extract_topk(dists, col_ids, k):
     out_d = jnp.full((TM, _LANES), _BIG, jnp.float32)
     out_i = jnp.zeros((TM, _LANES), jnp.int32)
     for slot in range(k):  # k is tiny (5): unrolled
-        val = jnp.min(dists, axis=1)                               # (TM,)
-        hit = dists == val[:, None]
-        idx = jnp.min(jnp.where(hit, col_ids, _INT_BIG), axis=1)   # (TM,)
+        val = _tree_min(dists)                                     # (TM, 1)
+        hit = dists == val
+        idx = _tree_min(jnp.where(hit, col_ids, _INT_BIG))         # (TM, 1)
         slot_mask = lane == slot  # static per slot
-        out_d = jnp.where(slot_mask, val[:, None], out_d)
-        out_i = jnp.where(slot_mask, idx[:, None], out_i)
-        dists = jnp.where(col_ids == idx[:, None], _BIG, dists)
+        out_d = jnp.where(slot_mask, val, out_d)
+        out_i = jnp.where(slot_mask, idx, out_i)
+        dists = jnp.where(col_ids == idx, _BIG, dists)
     return out_d, out_i
+
+
+# packed (distance | local column) layout for the direct kernel's in-tile
+# extraction: 11 index bits support column tiles up to 2048 wide; distances
+# keep their top 21 mantissa-exponent bits (the same quantization class as
+# the fused kernels — PARITY.md deviation #5)
+_PK_IDX_BITS = 11
+_PK_IDX_MASK = (1 << _PK_IDX_BITS) - 1
+_PK_TILE_N_MAX = 1 << _PK_IDX_BITS
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _tree_min(x):
+    """Row-wise min of (TM, W) -> (TM, 1): halve the lane width with static
+    aligned slices down to 128 lanes (elementwise mins, ~1 full pass of VPU
+    work total), then one 128-wide cross-lane min. Much cheaper than a
+    full-width cross-lane reduction, whose shuffle steps each touch the
+    whole array."""
+    W = x.shape[1]
+    while W > _LANES and W % 256 == 0:  # keep slice widths lane-aligned
+        W //= 2
+        x = jnp.minimum(x[:, :W], x[:, W:2 * W])
+    return jnp.min(x, axis=1, keepdims=True)
+
+
+def tree_sum(x):
+    """Row-wise sum of (TM, W) -> (TM, 1) via the same lane-halving tree as
+    `_tree_min`. Used to gather one-hot-selected values on the VPU: with at
+    most one nonzero per row, any association order is exact."""
+    W = x.shape[1]
+    while W > _LANES and W % 256 == 0:
+        W //= 2
+        x = x[:, :W] + x[:, W:2 * W]
+    return jnp.sum(x, axis=1, keepdims=True)
+
+
+def _extract_topk_packed(packed, k, col_base):
+    """Smallest-k of each row of packed (dist_bits | local_col) int32 values
+    (TM, TN) -> (quantized distance f32, global idx) in lane-aligned
+    (TM, 128) arrays. One cross-lane int min per slot (non-negative f32
+    distance bits are order-isomorphic to their int32 pattern; ties resolve
+    to the lower column) — half the VPU passes of the unpacked two-reduction
+    extraction, which dominates the kernel's time."""
+    TM = packed.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
+    out_d = jnp.full((TM, _LANES), _BIG, jnp.float32)
+    out_i = jnp.zeros((TM, _LANES), jnp.int32)
+    for slot in range(k):  # k is tiny (5): unrolled
+        best = _tree_min(packed)                                   # (TM, 1)
+        packed = jnp.where(packed == best, _INT_MAX, packed)
+        d = pltpu.bitcast(best & ~_PK_IDX_MASK, jnp.float32)
+        i = (best & _PK_IDX_MASK) + col_base
+        slot_mask = lane == slot  # static per slot
+        out_d = jnp.where(slot_mask, d, out_d)
+        out_i = jnp.where(slot_mask, i, out_i)
+    return out_d, out_i
+
+
+def _knn_kernel_direct(xt_ref, q_ref, idx_ref, *, k, tile_n, n_points, d_live):
+    """One grid step, small-D path (raw xyz clouds): distances are computed
+    directly on the VPU as sum_d (q_d - k_d)^2 — exact f32, no matmul and no
+    truncation splits. The matmul formulation would pad D=3 up to 128 MXU
+    lanes (~42x wasted FLOPs) and then multiply that by the split partial
+    products; the elementwise form is both exact and far cheaper.
+
+    Keys ride transposed as (D_sub, N_pad): even a 10k-point cloud is only
+    ~330 KB of VMEM, so this path never needs the HBM-streaming variant.
+    Selection runs on packed (distance | column) values — top-21-bit
+    distance quantization, ties to the lower index (PARITY.md dev. #5)."""
+    num_tiles = n_points // tile_n
+    q = q_ref[0]                                             # (TM, D_pad) f32
+    TM = q.shape[0]
+
+    def tile_topk(t):
+        col_base = t * tile_n
+        keys_tile = xt_ref[0, :, pl.ds(col_base, tile_n)]    # (D_sub, TN)
+        acc = None
+        for d in range(d_live):                              # D is tiny: unrolled
+            diff = q[:, d][:, None] - keys_tile[d][None, :]  # (TM, TN)
+            sq = diff * diff
+            acc = sq if acc is None else acc + sq
+        col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        packed = (pltpu.bitcast(acc, jnp.int32) & ~_PK_IDX_MASK) | col
+        return _extract_topk_packed(packed, k, col_base)
+
+    def col_tile(t, carry):
+        acc_d, acc_i = carry
+        tile_d, tile_i = tile_topk(t)
+        # merge on the quantized distances; running top-k first -> earlier
+        # (lower-index) entries win ties
+        merged_d = jnp.concatenate([acc_d, tile_d], axis=1)
+        merged_i = jnp.concatenate([acc_i, tile_i], axis=1)
+        return _extract_topk(merged_d, merged_i, k)
+
+    if num_tiles == 1:
+        _, acc_i = tile_topk(0)  # no merge pass needed
+    else:
+        _, acc_i = jax.lax.fori_loop(
+            0, num_tiles, col_tile,
+            (jnp.full((TM, _LANES), _BIG, jnp.float32),
+             jnp.zeros((TM, _LANES), jnp.int32)))
+    idx_ref[0] = acc_i
 
 
 def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
@@ -279,20 +381,36 @@ def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_point
 # larger sets stream key tiles from HBM
 _VMEM_X_BUDGET = 6 * 1024 * 1024
 
+# feature dims at or below this use the direct VPU distance kernel (exact
+# f32, no MXU); above it, distances come from the MXU via truncation splits
+_DIRECT_D_MAX = 16
 
-def knn_pallas(points, k, tile_m=128, tile_n=1024, interpret=False):
+
+def knn_pallas(points, k, tile_m=None, tile_n=None, interpret=False):
     """Pallas tiled top-k kNN: indices (B, N, k), self included.
 
     Pads N to a tile multiple with far-away ghost points so padded keys never
     enter any top-k; padded query rows are sliced off on return. Small point
     sets keep all keys in VMEM; large ones (the 10k-point stress config)
-    stream key tiles from HBM with double-buffered DMA.
+    stream key tiles from HBM with double-buffered DMA — except the small-D
+    direct path, whose transposed keys always fit VMEM.
     """
     if k > _LANES:
         raise ValueError(f'knn_pallas::k={k} exceeds the lane-aligned '
                          f'accumulator capacity ({_LANES})')
     B, N, D = points.shape
     k = min(k, N)
+    if D <= _DIRECT_D_MAX:
+        # direct path defaults (swept on-chip at 128x10k): the widest packed
+        # column tile and a 256-row query tile
+        if tile_n is None:
+            tile_n = _PK_TILE_N_MAX
+        if tile_m is None:
+            tile_m = 256 if min(tile_n, round_up(N, 128)) % 256 == 0 else 128
+        tile_n = min(tile_n, _PK_TILE_N_MAX)  # packed local ids carry 11 bits
+    else:
+        tile_m = 128 if tile_m is None else tile_m
+        tile_n = 1024 if tile_n is None else tile_n
     tile_m = min(tile_m, round_up(N, 8))
     tile_n = min(tile_n, round_up(N, 128))
     pad_n = round_up(N, math.lcm(tile_m, tile_n))
@@ -303,6 +421,29 @@ def knn_pallas(points, k, tile_m=128, tile_n=1024, interpret=False):
         x = x.at[:, N:, 0].set(GHOST)  # ghost points: never selected
 
     grid = (B, pad_n // tile_m)
+
+    if D <= _DIRECT_D_MAX:
+        # small-D (xyz) path: exact f32 VPU distances on transposed keys —
+        # the (D_sub, N_pad) key block is tiny, so it never streams
+        d_sub = round_up(D, 8)
+        x_t = jnp.swapaxes(x[:, :, :d_sub], 1, 2)  # (B, d_sub, pad_n)
+        idx = pl.pallas_call(
+            functools.partial(_knn_kernel_direct, k=k, tile_n=tile_n,
+                              n_points=pad_n, d_live=D),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, d_sub, pad_n), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_m, pad_d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_m, _LANES), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, pad_n, _LANES), jnp.int32),
+            interpret=interpret,
+        )(x_t, x)
+        return idx[:, :N, :k]
+
     stream_from_hbm = pad_n * pad_d * 4 > _VMEM_X_BUDGET and not interpret
 
     if stream_from_hbm:

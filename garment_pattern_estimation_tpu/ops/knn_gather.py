@@ -39,8 +39,9 @@ from .knn import (GHOST as _GHOST, round_up as _round_up,
                   split_bf16 as _split_bf16,
                   cross_from_splits as _cross_from_splits,
                   gather_from_splits as _gather_from_splits,
-                  batched_cross_from_splits as _oracle_cross)
-from .edgeconv import _IDX_BITS, _IDX_MASK, _MAX_N_PAD
+                  batched_cross_from_splits as _oracle_cross,
+                  tree_sum as _tree_sum, _tree_min)
+from .edgeconv import _IDX_BITS, _IDX_MASK, _MAX_N_PAD, _DIRECT_C_MAX
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 _LANES = 128
@@ -51,41 +52,68 @@ def knn_gather_supported(n_points):
     return _round_up(n_points, 128) <= _MAX_N_PAD
 
 
-def _fwd_kernel(khi_ref, klo_ref, knorm_ref, q_ref, nbr_ref, idx_ref, *, k):
+def _fwd_kernel(*refs, k, d_live=None):
     """One grid step: k nearest neighbors + their features for TM query rows
-    of one batch element. Keys arrive pre-split into bf16 truncation chunks
-    (ops/knn.py::split_bf16) with exact f32 norms: all dot products are
-    exact on the MXU; distance/gather accuracy is bounded by the ~2^-14
-    split residual (below the packed top-k's quantization for ranking, and
-    below the downstream MLP's own bf16 input rounding for values)."""
-    k_chunks = [khi_ref[0], klo_ref[0]]                       # (N_pad, C_pad) bf16
-    q = q_ref[0]                                              # (TM, C_pad) f32
+    of one batch element.
 
-    q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
-    k_norm = knorm_ref[0]                                     # (1, N_pad) f32
-    q_chunks = [c.astype(jnp.bfloat16) for c in _split_bf16(q, pltpu.bitcast)]
-    cross = _cross_from_splits(q_chunks, k_chunks)
-    dists = jnp.maximum(q_norm + k_norm - 2.0 * cross, 0.0)
+    Wide features (d_live=None): keys arrive pre-split into bf16 truncation
+    chunks (ops/knn.py::split_bf16) with exact f32 norms: all dot products
+    are exact on the MXU; distance/gather accuracy is bounded by the ~2^-14
+    split residual (below the packed top-k's quantization for ranking, and
+    below the downstream MLP's own bf16 input rounding for values).
+
+    Small features (d_live set — the raw-xyz first layer): distances
+    accumulate per-dim on the VPU and gathers are per-dim one-hot tree-sums
+    against keys transposed to (D_sub, N_pad) — both exact f32, no MXU."""
+    if d_live is not None:
+        kt_ref, q_ref, nbr_ref, idx_ref = refs
+    else:
+        khi_ref, klo_ref, knorm_ref, q_ref, nbr_ref, idx_ref = refs
+    q = q_ref[0]                                              # (TM, C_pad) f32
+    TM, c_pad = q.shape
+
+    if d_live is not None:
+        dists = None
+        for dim in range(d_live):                             # D is tiny: unrolled
+            diff = q[:, dim][:, None] - kt_ref[0, dim, :][None, :]
+            sq = diff * diff
+            dists = sq if dists is None else dists + sq
+    else:
+        k_chunks = [khi_ref[0], klo_ref[0]]                   # (N_pad, C_pad) bf16
+        q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
+        k_norm = knorm_ref[0]                                 # (1, N_pad) f32
+        q_chunks = [c.astype(jnp.bfloat16)
+                    for c in _split_bf16(q, pltpu.bitcast)]
+        cross = _cross_from_splits(q_chunks, k_chunks)
+        dists = jnp.maximum(q_norm + k_norm - 2.0 * cross, 0.0)
 
     col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
     bits = pltpu.bitcast(dists, jnp.int32)
     packed = (bits & ~_IDX_MASK) | col
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], _LANES), 1)
-    idx_out = jnp.zeros((q.shape[0], _LANES), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
+    vlane = jax.lax.broadcasted_iota(jnp.int32, (TM, c_pad), 1)
+    idx_out = jnp.zeros((TM, _LANES), jnp.int32)
     for slot in range(k):                                     # k is tiny: unrolled
-        nearest = jnp.min(packed, axis=1)                     # (TM,)
-        hit = packed == nearest[:, None]                      # one-hot (TM, N_pad)
+        nearest = _tree_min(packed)                           # (TM, 1)
+        hit = packed == nearest                               # one-hot (TM, N_pad)
         packed = jnp.where(hit, _INT_MAX, packed)
         if slot == 0:
             # self-inclusive kNN: slot 0 is the query itself — no gather
             # (an exact-duplicate point may occupy slot 0 instead; its
             # coordinates are identical)
             nbr_ref[0, 0] = q
+        elif d_live is not None:
+            # exact per-dim gather: one nonzero per row -> tree-sum is exact
+            nbr = jnp.zeros((TM, c_pad), jnp.float32)
+            for dim in range(d_live):
+                v = _tree_sum(jnp.where(hit, kt_ref[0, dim, :][None, :], 0.0))
+                nbr = jnp.where(vlane == dim, v, nbr)
+            nbr_ref[0, slot] = nbr
         else:
             nbr_ref[0, slot] = _gather_from_splits(hit.astype(jnp.bfloat16),
                                                    k_chunks)
-        idx_out = jnp.where(lane == slot, (nearest & _IDX_MASK)[:, None], idx_out)
+        idx_out = jnp.where(lane == slot, nearest & _IDX_MASK, idx_out)
     idx_ref[0] = idx_out
 
 
@@ -141,22 +169,37 @@ def _fwd_pallas(x, k, interpret):
     # wide-feature layers need the smaller query tile to fit scoped VMEM
     tile_m = 256 if (n_pad % 256 == 0 and c_pad <= _LANES) else _LANES
     xp = _pad_points(x, n_pad, c_pad)
-    # keys pre-split into bf16 truncation chunks + exact f32 norms (XLA side)
-    k_hi, k_lo = (c.astype(jnp.bfloat16) for c in _split_bf16(xp))
-    k_norm = jnp.swapaxes(jnp.sum(xp * xp, axis=-1, keepdims=True), 1, 2)
 
-    keys_spec = pl.BlockSpec((1, n_pad, c_pad), lambda b, i: (b, 0, 0),
-                             memory_space=pltpu.VMEM)
-    nbr, idx = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k),
-        grid=(B, n_pad // tile_m),
-        in_specs=[
+    d_live = C if C <= _DIRECT_C_MAX else None
+    q_spec = pl.BlockSpec((1, tile_m, c_pad), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    if d_live is not None:
+        # small-C path: keys transposed to (D_sub, N_pad) — exact f32 VPU
+        # distances + gathers in the kernel, no splits and no norms
+        d_sub = _round_up(C, 8)
+        keys_t = jnp.swapaxes(xp[:, :, :d_sub], 1, 2)  # (B, d_sub, n_pad)
+        x_inputs = (keys_t, xp)
+        x_specs = [
+            pl.BlockSpec((1, d_sub, n_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            q_spec]
+    else:
+        # keys pre-split into bf16 truncation chunks + exact f32 norms
+        k_hi, k_lo = (c.astype(jnp.bfloat16) for c in _split_bf16(xp))
+        k_norm = jnp.swapaxes(jnp.sum(xp * xp, axis=-1, keepdims=True), 1, 2)
+        keys_spec = pl.BlockSpec((1, n_pad, c_pad), lambda b, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        x_inputs = (k_hi, k_lo, k_norm, xp)
+        x_specs = [
             keys_spec, keys_spec,
             pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, c_pad), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+            q_spec]
+
+    nbr, idx = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, d_live=d_live),
+        grid=(B, n_pad // tile_m),
+        in_specs=x_specs,
         out_specs=[
             pl.BlockSpec((1, k, tile_m, c_pad), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -168,7 +211,7 @@ def _fwd_pallas(x, k, interpret):
             jax.ShapeDtypeStruct((B, n_pad, _LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(k_hi, k_lo, k_norm, xp)
+    )(*x_inputs)
     return nbr[:, :, :N, :C], idx
 
 
@@ -231,19 +274,30 @@ def knn_gather_reference(x, k):
     quantized distances); XLA autodiff of this is the gradient oracle."""
     B, N, C = x.shape
     xf = x.astype(jnp.float32)
-    q_norm = jnp.sum(xf * xf, axis=-1)
-    chunks = _split_bf16(xf)
-    cross = _oracle_cross(chunks)
-    dists = jnp.maximum(q_norm[:, :, None] + q_norm[:, None, :] - 2 * cross, 0.0)
+    if C <= _DIRECT_C_MAX:
+        # small-C path: exact f32 distances (per-dim accumulation, matching
+        # the kernel's VPU order) and exact gathered values
+        dists = None
+        for dim in range(C):
+            diff = xf[:, :, None, dim] - xf[:, None, :, dim]
+            sq = diff * diff
+            dists = sq if dists is None else dists + sq
+        x_rec = xf
+    else:
+        q_norm = jnp.sum(xf * xf, axis=-1)
+        chunks = _split_bf16(xf)
+        cross = _oracle_cross(chunks)
+        dists = jnp.maximum(
+            q_norm[:, :, None] + q_norm[:, None, :] - 2 * cross, 0.0)
+        # the kernel gathers the top two split chunks; the truncation is
+        # bitwise ops (zero autodiff), so re-attach an identity gradient —
+        # the kernel's VJP likewise scatters the full cotangent
+        x_rec = xf + jax.lax.stop_gradient(chunks[0] + chunks[1] - xf)
     bits = jax.lax.bitcast_convert_type(dists, jnp.int32)
     col = jnp.arange(N, dtype=jnp.int32)
     packed = (bits & ~_IDX_MASK) | col[None, None, :]
     idx = jnp.sort(packed, axis=-1)[..., :k] & _IDX_MASK          # (B, N, k)
 
-    # the kernel gathers the top two split chunks; the truncation is
-    # bitwise ops (zero autodiff), so re-attach an identity gradient — the
-    # kernel's VJP likewise scatters the full cotangent
-    x_rec = xf + jax.lax.stop_gradient(chunks[0] + chunks[1] - xf)
     nbr = jnp.take_along_axis(x_rec[:, None, :, :], idx[..., None], axis=2)
     # slot 0 is the query itself (self-inclusive kNN): the kernel skips its
     # gather and uses the full-f32 query row; its gradient flows to the

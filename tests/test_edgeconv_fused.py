@@ -59,9 +59,12 @@ def test_fold_mlp_bn_matches_plain_stack(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize('n_points', [100, 200])
-def test_fused_kernel_matches_oracle_interpret(rng, n_points):
-    C = 6
+@pytest.mark.parametrize('n_points,C', [
+    (100, 6),    # small-C direct path (exact VPU distances + gathers)
+    (200, 6),
+    (100, 24),   # wide-C path (bf16 truncation-split MXU distances/gathers)
+])
+def test_fused_kernel_matches_oracle_interpret(rng, n_points, C):
     params, stats = _synthetic_mlp(rng, [(2 * C, 24), (24, 24), (24, 16)])
     folded = fold_mlp_bn(params, stats)
     x = _tiefree_points(rng, (2, n_points, C))

@@ -11,7 +11,10 @@ from garment_pattern_estimation_tpu.ops.knn_gather import (
 from garment_pattern_estimation_tpu.models.blocks import EdgeConv
 
 
-@pytest.mark.parametrize('n_points,c', [(100, 3), (200, 12), (130, 7)])
+@pytest.mark.parametrize('n_points,c', [
+    (100, 3), (200, 12), (130, 7),   # small-C direct path (exact VPU)
+    (120, 24),                       # wide-C truncation-split MXU path
+])
 def test_forward_matches_oracle(rng, n_points, c):
     x = jnp.asarray(rng.normal(size=(2, n_points, c)).astype(np.float32))
     nbr_ref, idx_ref = knn_gather_reference(x, 5)
@@ -27,12 +30,13 @@ def test_self_is_first_neighbor(rng):
     np.testing.assert_array_equal(np.asarray(idx[0, :, 0]), np.arange(64))
 
 
-def test_gradient_matches_oracle_autodiff(rng):
+@pytest.mark.parametrize('c', [5, 24])
+def test_gradient_matches_oracle_autodiff(rng, c):
     """The Pallas scatter-add backward vs XLA autodiff of the oracle gather.
     Nonlinear readout so the cotangent varies per edge; duplicated-neighbor
     accumulation is exercised (every point is its many neighbors' slot)."""
-    x = jnp.asarray(rng.normal(size=(2, 96, 5)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 96, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
 
     def loss_fused(v):
         nbr, _ = knn_gather(v, 4, True)

@@ -44,9 +44,14 @@ def test_knn_xla_matches_numpy(shape):
     assert (idx == np.arange(shape[1])[None, :, None]).any(axis=-1).all()
 
 
-def test_knn_pallas_interpret_matches_xla():
+@pytest.mark.parametrize('shape', [
+    (1, 64, 3),    # small-D direct path, single column tile
+    (1, 200, 3),   # small-D direct path, multi-tile merge
+    (1, 200, 20),  # matmul path (D > direct threshold), multi-tile merge
+])
+def test_knn_pallas_interpret_matches_xla(shape):
     rng = np.random.default_rng(2)
-    pts = rng.normal(size=(1, 64, 3)).astype(np.float32)  # tiny: interpret mode is slow on CPU
+    pts = rng.normal(size=shape).astype(np.float32)  # tiny: interpret mode is slow on CPU
     idx_ref = np.asarray(knn_xla(jnp.asarray(pts), 5))
     idx_pl = np.asarray(knn_pallas(jnp.asarray(pts), 5, tile_m=16, tile_n=64,
                                    interpret=True))
