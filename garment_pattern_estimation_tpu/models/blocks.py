@@ -39,7 +39,9 @@ class MLP(nn.Module):
     """Dense -> ReLU -> BatchNorm stacks, in the reference's (non-standard)
     order with BN *after* the activation (nn/net_blocks.py:43-47).
 
-    Expects 2D input (rows, features) — same contract as torch BatchNorm1d.
+    Accepts (..., features): Dense contracts the last axis and BatchNorm
+    reduces every leading axis — statistics over N-D input match a flattened
+    (rows, features) pass (torch BatchNorm1d semantics).
     `compute_dtype` runs the matmuls in bf16 on the MXU (params stay f32).
     """
     features: Sequence[int]
@@ -119,9 +121,11 @@ class EdgeConv(nn.Module):
             k_axis = 2
         edge_features = jnp.concatenate([center, neighbors - center], axis=-1)
 
-        flat = edge_features.reshape(-1, 2 * C)
-        out = mlp(flat, train=train)
-        out = out.reshape(*neighbors.shape[:3], -1)
+        # the MLP runs on the 4D (B, k|N, N|k, 2C) tensor directly: Dense
+        # contracts the last axis and BatchNorm reduces the leading axes —
+        # identical statistics to a flattened (B*k*N, 2C) pass without the
+        # reshape fusion barriers on either side of every layer
+        out = mlp(edge_features, train=train)
 
         if self.aggr == 'max':
             return jnp.max(out, axis=k_axis)
