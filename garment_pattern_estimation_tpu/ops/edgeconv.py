@@ -165,10 +165,17 @@ def _fused_kernel(*refs, k, n_layers, mlp_dtype, d_live=None):
 
     # -- pack (distance | column index): non-negative f32 bits are monotone,
     # so one int min per slot yields the nearest remaining neighbor with
-    # ties broken towards the lower column --
+    # ties broken towards the lower column. The self column is masked out:
+    # slot 0 is the query itself by construction (self-inclusive kNN at
+    # distance 0), so only k-1 extraction rounds run; an exact duplicate
+    # lands in slot 1 instead of displacing the self slot (identical
+    # coordinates either way) --
     col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
     bits = pltpu.bitcast(dists, jnp.int32)
     packed = (bits & ~_IDX_MASK) | col
+    row = pl.program_id(1) * TM + \
+        jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)       # global query ids
+    packed = jnp.where(col == row, _INT_MAX, packed)
 
     # the f32 path gathers hi+lo chunks (residual 2^-14, below the edge
     # MLP's own bf16 input rounding); the bf16 path gathers the top chunk
@@ -177,15 +184,13 @@ def _fused_kernel(*refs, k, n_layers, mlp_dtype, d_live=None):
     lane = jax.lax.broadcasted_iota(jnp.int32, (TM, c_pad), 1)
     out = None
     for _slot in range(k):                                    # k is tiny: unrolled
-        nearest = _tree_min(packed)                           # (TM, 1)
-        hit = packed == nearest                               # one-hot (TM, N_pad)
-        packed = jnp.where(hit, _INT_MAX, packed)
+        if _slot > 0:
+            nearest = _tree_min(packed)                       # (TM, 1)
+            hit = packed == nearest                           # one-hot (TM, N_pad)
+            packed = jnp.where(hit, _INT_MAX, packed)
 
-        # slot 0 is the query itself (self-inclusive kNN) — no gather.
-        # (An exact-duplicate point may occupy slot 0 instead; its
-        # coordinates are identical, so the features are unchanged.)
         if _slot == 0:
-            nbr = q
+            nbr = q                                           # self slot: no work
         elif d_live is not None:
             # exact per-dim gather: one nonzero per row -> tree-sum is exact
             nbr = jnp.zeros((TM, c_pad), jnp.float32)
@@ -323,13 +328,17 @@ def fused_edgeconv_reference(x, folded, k, mlp_dtype=jnp.float32):
     bits = jax.lax.bitcast_convert_type(dists, jnp.int32)
     col = jnp.arange(N, dtype=jnp.int32)
     packed = (bits & ~_IDX_MASK) | col[None, None, :]
-    packed_sorted = jnp.sort(packed, axis=-1)[..., :k]
-    idx = packed_sorted & _IDX_MASK                              # (B, N, k)
+    # slot 0 is the query itself by construction (the kernel masks the self
+    # column and extracts only k-1 slots); an exact duplicate lands in a
+    # later slot with identical coordinates
+    packed = jnp.where(jnp.eye(N, dtype=bool)[None], _INT_MAX, packed)
+    idx_rest = jnp.sort(packed, axis=-1)[..., :k - 1] & _IDX_MASK
+    idx = jnp.concatenate(
+        [jnp.broadcast_to(col[None, :, None], (B, N, 1)), idx_rest], axis=-1)
 
     nbr = jnp.take_along_axis(x_lp[:, None, :, :],
                               idx[..., None], axis=2)            # (B, N, k, C)
-    # slot 0 is the query itself (self-inclusive kNN): the kernel skips its
-    # gather and uses the full-f32 query row directly
+    # the kernel uses the full-f32 query row for the self slot
     nbr = nbr.at[:, :, 0, :].set(xf)
     center = jnp.broadcast_to(xf[:, :, None, :], nbr.shape)
     h = jnp.concatenate([center, nbr - center], axis=-1)

@@ -164,10 +164,11 @@ _LANES = 128  # accumulators are lane-aligned; only the first k lanes are live
 _INT_BIG = jnp.iinfo(jnp.int32).max
 
 
-def _extract_topk(dists, col_ids, k):
+def _extract_topk(dists, col_ids, k, slot_offset=0):
     """Smallest-k (values, ids) of each row of `dists` (TM, C), returned in
-    lane-aligned (TM, 128) arrays (slots beyond k stay BIG/0). Ascending
-    extraction with lowest-index tie-break (lax.top_k semantics).
+    lane-aligned (TM, 128) arrays at lanes [slot_offset : slot_offset+k]
+    (other slots stay BIG/0). Ascending extraction with lowest-index
+    tie-break (lax.top_k semantics).
 
     Two cross-lane reductions per slot (min value, min id among hits) —
     cross-lane reductions dominate the kernel's VPU time, so this form is
@@ -180,7 +181,7 @@ def _extract_topk(dists, col_ids, k):
         val = _tree_min(dists)                                     # (TM, 1)
         hit = dists == val
         idx = _tree_min(jnp.where(hit, col_ids, _INT_BIG))         # (TM, 1)
-        slot_mask = lane == slot  # static per slot
+        slot_mask = lane == slot + slot_offset  # static per slot
         out_d = jnp.where(slot_mask, val, out_d)
         out_i = jnp.where(slot_mask, idx, out_i)
         dists = jnp.where(col_ids == idx, _BIG, dists)
@@ -221,13 +222,15 @@ def tree_sum(x):
     return jnp.sum(x, axis=1, keepdims=True)
 
 
-def _extract_topk_packed(packed, k, col_base):
+def _extract_topk_packed(packed, k, col_base, slot_offset=0):
     """Smallest-k of each row of packed (dist_bits | local_col) int32 values
     (TM, TN) -> (quantized distance f32, global idx) in lane-aligned
-    (TM, 128) arrays. One cross-lane int min per slot (non-negative f32
-    distance bits are order-isomorphic to their int32 pattern; ties resolve
-    to the lower column) — half the VPU passes of the unpacked two-reduction
-    extraction, which dominates the kernel's time."""
+    (TM, 128) arrays, written to lanes [slot_offset : slot_offset+k]. One
+    cross-lane int min per slot (non-negative f32 distance bits are order
+    -isomorphic to their int32 pattern; ties resolve to the lower column) —
+    half the VPU passes of the unpacked two-reduction extraction, which
+    dominates the kernel's time. Lanes below `slot_offset` keep the
+    BIG/0 sentinels (callers fill them, e.g. with the self slot)."""
     TM = packed.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
     out_d = jnp.full((TM, _LANES), _BIG, jnp.float32)
@@ -237,7 +240,7 @@ def _extract_topk_packed(packed, k, col_base):
         packed = jnp.where(packed == best, _INT_MAX, packed)
         d = pltpu.bitcast(best & ~_PK_IDX_MASK, jnp.float32)
         i = (best & _PK_IDX_MASK) + col_base
-        slot_mask = lane == slot  # static per slot
+        slot_mask = lane == slot + slot_offset  # static per slot
         out_d = jnp.where(slot_mask, d, out_d)
         out_i = jnp.where(slot_mask, i, out_i)
     return out_d, out_i
@@ -253,10 +256,18 @@ def _knn_kernel_direct(xt_ref, q_ref, idx_ref, *, k, tile_n, n_points, d_live):
     Keys ride transposed as (D_sub, N_pad): even a 10k-point cloud is only
     ~330 KB of VMEM, so this path never needs the HBM-streaming variant.
     Selection runs on packed (distance | column) values — top-21-bit
-    distance quantization, ties to the lower index (PARITY.md dev. #5)."""
+    distance quantization, ties to the lower index (PARITY.md dev. #5).
+
+    Slot 0 is the query itself by construction (self-inclusive kNN at
+    distance 0): the self column is masked out and only k-1 slots are
+    extracted — a 1/k cut of the extraction passes that dominate the
+    kernel. An exact duplicate lands in slot 1 instead of displacing the
+    self slot (identical coordinates either way)."""
     num_tiles = n_points // tile_n
     q = q_ref[0]                                             # (TM, D_pad) f32
     TM = q.shape[0]
+    row = pl.program_id(1) * TM + \
+        jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)      # global query ids
 
     def tile_topk(t):
         col_base = t * tile_n
@@ -268,7 +279,8 @@ def _knn_kernel_direct(xt_ref, q_ref, idx_ref, *, k, tile_n, n_points, d_live):
             acc = sq if acc is None else acc + sq
         col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
         packed = (pltpu.bitcast(acc, jnp.int32) & ~_PK_IDX_MASK) | col
-        return _extract_topk_packed(packed, k, col_base)
+        packed = jnp.where(col_base + col == row, _INT_MAX, packed)  # self
+        return _extract_topk_packed(packed, k - 1, col_base, slot_offset=1)
 
     def col_tile(t, carry):
         acc_d, acc_i = carry
@@ -277,16 +289,18 @@ def _knn_kernel_direct(xt_ref, q_ref, idx_ref, *, k, tile_n, n_points, d_live):
         # (lower-index) entries win ties
         merged_d = jnp.concatenate([acc_d, tile_d], axis=1)
         merged_i = jnp.concatenate([acc_i, tile_i], axis=1)
-        return _extract_topk(merged_d, merged_i, k)
+        return _extract_topk(merged_d, merged_i, k - 1, slot_offset=1)
 
-    if num_tiles == 1:
-        _, acc_i = tile_topk(0)  # no merge pass needed
+    if num_tiles == 1 or k == 1:
+        acc_i = tile_topk(0)[1] if k > 1 else \
+            jnp.zeros((TM, _LANES), jnp.int32)  # no merge pass needed
     else:
         _, acc_i = jax.lax.fori_loop(
             0, num_tiles, col_tile,
             (jnp.full((TM, _LANES), _BIG, jnp.float32),
              jnp.zeros((TM, _LANES), jnp.int32)))
-    idx_ref[0] = acc_i
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
+    idx_ref[0] = jnp.where(lane == 0, row, acc_i)
 
 
 def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
@@ -301,6 +315,8 @@ def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
     q_norm = jnp.sum(q * q, axis=-1, keepdims=True)          # (TM, 1)
     q_chunks = split_bf16(q, pltpu.bitcast, terms=3)
     TM = q.shape[0]
+    row = pl.program_id(1) * TM + \
+        jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)      # global query ids
 
     def tile_topk(t):
         col_base = t * tile_n
@@ -309,7 +325,8 @@ def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
         cross = cross_from_splits(q_chunks, split_bf16(keys, pltpu.bitcast, terms=3))
         dists = q_norm + k_norm[None, :] - 2.0 * cross
         col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
-        return _extract_topk(dists, col_ids, k)              # (TM, 128)
+        dists = jnp.where(col_ids == row, _BIG, dists)       # self -> slot 0
+        return _extract_topk(dists, col_ids, k - 1, slot_offset=1)
 
     def col_tile(t, carry):
         acc_d, acc_i = carry
@@ -318,16 +335,18 @@ def _knn_kernel(x_ref, q_ref, idx_ref, *, k, tile_n, n_points):
         # ties, matching lax.top_k
         merged_d = jnp.concatenate([acc_d, tile_d], axis=1)  # (TM, 256) aligned
         merged_i = jnp.concatenate([acc_i, tile_i], axis=1)
-        return _extract_topk(merged_d, merged_i, k)
+        return _extract_topk(merged_d, merged_i, k - 1, slot_offset=1)
 
-    if num_tiles == 1:
-        acc_d, acc_i = tile_topk(0)  # no merge pass needed
+    if num_tiles == 1 or k == 1:
+        acc_i = tile_topk(0)[1] if k > 1 else \
+            jnp.zeros((TM, _LANES), jnp.int32)  # no merge pass needed
     else:
-        acc_d, acc_i = jax.lax.fori_loop(
+        _, acc_i = jax.lax.fori_loop(
             0, num_tiles, col_tile,
             (jnp.full((TM, _LANES), _BIG, jnp.float32),
              jnp.zeros((TM, _LANES), jnp.int32)))
-    idx_ref[0] = acc_i
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
+    idx_ref[0] = jnp.where(lane == 0, row, acc_i)
 
 
 def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_points):
@@ -341,6 +360,8 @@ def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_point
     q_norm = jnp.sum(q * q, axis=-1, keepdims=True)
     q_chunks = split_bf16(q, pltpu.bitcast, terms=3)
     TM = q.shape[0]
+    row = pl.program_id(1) * TM + \
+        jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)      # global query ids
 
     def tile_dma(slot, t):
         return pltpu.make_async_copy(
@@ -364,17 +385,20 @@ def _knn_kernel_hbm(x_hbm, q_ref, idx_ref, keys_buf, sems, *, k, tile_n, n_point
         dists = q_norm + k_norm[None, :] - 2.0 * cross
         col_base = t * tile_n
         col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+        dists = jnp.where(col_ids == row, _BIG, dists)       # self -> slot 0
 
-        tile_d, tile_i = _extract_topk(dists, col_ids, k)
+        tile_d, tile_i = _extract_topk(dists, col_ids, k - 1, slot_offset=1)
         merged_d = jnp.concatenate([acc_d, tile_d], axis=1)
         merged_i = jnp.concatenate([acc_i, tile_i], axis=1)
-        return _extract_topk(merged_d, merged_i, k)
+        return _extract_topk(merged_d, merged_i, k - 1, slot_offset=1)
 
-    acc_d, acc_i = jax.lax.fori_loop(
-        0, num_tiles, col_tile,
-        (jnp.full((TM, _LANES), _BIG, jnp.float32),
-         jnp.zeros((TM, _LANES), jnp.int32)))
-    idx_ref[0] = acc_i
+    acc_i = jnp.zeros((TM, _LANES), jnp.int32)
+    if k > 1:
+        _, acc_i = jax.lax.fori_loop(
+            0, num_tiles, col_tile,
+            (jnp.full((TM, _LANES), _BIG, jnp.float32), acc_i))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
+    idx_ref[0] = jnp.where(lane == 0, row, acc_i)
 
 
 # keep the whole point set in VMEM only below this footprint (bytes);

@@ -90,19 +90,23 @@ def _fwd_kernel(*refs, k, d_live=None):
     col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
     bits = pltpu.bitcast(dists, jnp.int32)
     packed = (bits & ~_IDX_MASK) | col
+    # self column masked out: slot 0 is the query itself by construction
+    # (self-inclusive kNN at distance 0), so only k-1 extraction rounds
+    # run; an exact duplicate lands in slot 1 with identical coordinates
+    row = pl.program_id(1) * TM + \
+        jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)       # global query ids
+    packed = jnp.where(col == row, _INT_MAX, packed)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TM, _LANES), 1)
     vlane = jax.lax.broadcasted_iota(jnp.int32, (TM, c_pad), 1)
-    idx_out = jnp.zeros((TM, _LANES), jnp.int32)
+    idx_out = jnp.where(lane == 0, row, 0)
     for slot in range(k):                                     # k is tiny: unrolled
-        nearest = _tree_min(packed)                           # (TM, 1)
-        hit = packed == nearest                               # one-hot (TM, N_pad)
-        packed = jnp.where(hit, _INT_MAX, packed)
+        if slot > 0:
+            nearest = _tree_min(packed)                       # (TM, 1)
+            hit = packed == nearest                           # one-hot (TM, N_pad)
+            packed = jnp.where(hit, _INT_MAX, packed)
         if slot == 0:
-            # self-inclusive kNN: slot 0 is the query itself — no gather
-            # (an exact-duplicate point may occupy slot 0 instead; its
-            # coordinates are identical)
-            nbr_ref[0, 0] = q
+            nbr_ref[0, 0] = q                                 # self slot: no work
         elif d_live is not None:
             # exact per-dim gather: one nonzero per row -> tree-sum is exact
             nbr = jnp.zeros((TM, c_pad), jnp.float32)
@@ -113,7 +117,8 @@ def _fwd_kernel(*refs, k, d_live=None):
         else:
             nbr_ref[0, slot] = _gather_from_splits(hit.astype(jnp.bfloat16),
                                                    k_chunks)
-        idx_out = jnp.where(lane == slot, nearest & _IDX_MASK, idx_out)
+        if slot > 0:
+            idx_out = jnp.where(lane == slot, nearest & _IDX_MASK, idx_out)
     idx_ref[0] = idx_out
 
 
@@ -296,7 +301,14 @@ def knn_gather_reference(x, k):
     bits = jax.lax.bitcast_convert_type(dists, jnp.int32)
     col = jnp.arange(N, dtype=jnp.int32)
     packed = (bits & ~_IDX_MASK) | col[None, None, :]
-    idx = jnp.sort(packed, axis=-1)[..., :k] & _IDX_MASK          # (B, N, k)
+    # slot 0 is the query itself by construction (the kernel masks the self
+    # column and extracts only k-1 slots); an exact duplicate lands in a
+    # later slot with identical coordinates
+    packed = jnp.where(jnp.eye(N, dtype=bool)[None], jnp.iinfo(jnp.int32).max,
+                       packed)
+    idx_rest = jnp.sort(packed, axis=-1)[..., :k - 1] & _IDX_MASK
+    idx = jnp.concatenate(
+        [jnp.broadcast_to(col[None, :, None], (B, N, 1)), idx_rest], axis=-1)
 
     nbr = jnp.take_along_axis(x_rec[:, None, :, :], idx[..., None], axis=2)
     # slot 0 is the query itself (self-inclusive kNN): the kernel skips its

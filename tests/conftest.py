@@ -27,8 +27,11 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope='session')
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: every test sees the same draws on every
+    # run regardless of which other tests ran — selection-sensitive kernel
+    # comparisons (packed-quantization bucket edges) must be deterministic
     return np.random.default_rng(42)
 
 
