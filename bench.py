@@ -161,6 +161,32 @@ def measure_stress_knn(batch=128, num_points=10000, k=5, iters=3):
     return (time.perf_counter() - start) / iters * 1e3
 
 
+def measure_stress_forward(batch=128, num_points=10000, iters=3):
+    """Stress config full forward (BASELINE.json config 5): att model over
+    128 clouds x 10k points through the column-tiled/streaming fused
+    EdgeConv kernels — the unfused path OOMs HBM on the (B, N, k, C)
+    gather intermediate at this size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    sys.path.insert(0, str(Path(__file__).parent))
+    from __graft_entry__ import entry
+
+    forward, (features,) = entry(batch_size=batch, num_points=num_points)
+
+    @jax.jit
+    def run(v):
+        def step(_, acc):
+            out = forward(v + acc * 1e-12)
+            return out['outlines'].sum() * 1e-12
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    np.asarray(run(features))  # compile + sync
+    start = time.perf_counter()
+    np.asarray(run(features))
+    return (time.perf_counter() - start) / iters * 1e3
+
+
 def torch_cpu_baseline():
     """clouds/s of the torch reference model (published att scale) on CPU."""
     if CACHE.exists():
@@ -211,6 +237,10 @@ def main():
         extras['stress_knn_128x10k_ms'] = round(measure_stress_knn(), 2)
     except Exception as e:  # noqa: BLE001
         print(f'bench::warning::stress bench failed ({e})', file=sys.stderr)
+    try:
+        extras['stress_forward_128x10k_ms'] = round(measure_stress_forward(), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::stress forward failed ({e})', file=sys.stderr)
     try:
         baseline = torch_cpu_baseline()
         extras['torch_reference_cpu_clouds_per_sec'] = round(baseline, 3)

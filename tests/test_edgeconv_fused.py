@@ -98,3 +98,26 @@ def test_fused_module_path_matches_unfused(rng):
                                      mutable=['batch_stats'])
     assert 'batch_stats' in mutated
 
+
+
+@pytest.mark.parametrize('n_points,C,tile_n', [
+    (200, 6, 64),    # small-C column-tiled kernel: multi-tile merge + gathers
+    (200, 24, 64),   # wide-C tiled kernel: value-carrying quantized merges
+])
+def test_fused_tiled_kernels_match_oracle(rng, n_points, C, tile_n):
+    """The column-tiled kernels (stress-config path, N past the single-tile
+    bound) forced onto small clouds via a tiny tile width: selection is
+    globally equivalent to the oracle's lexicographic (quantized distance,
+    index) top-(k-1), and gathered values ride through the merges."""
+    params, stats = _synthetic_mlp(rng, [(2 * C, 24), (24, 24), (24, 16)])
+    folded = fold_mlp_bn(params, stats)
+    x = jnp.asarray(rng.normal(size=(2, n_points, C)).astype(np.float32))
+
+    ref = fused_edgeconv_reference(x, folded, k=5)
+    out_tiled = fused_edgeconv(x, folded, k=5, interpret=True, tile_n=tile_n)
+    np.testing.assert_allclose(np.asarray(out_tiled), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and against the single-tile kernel on the same data
+    out_single = fused_edgeconv(x, folded, k=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_tiled), np.asarray(out_single),
+                               rtol=1e-5, atol=1e-5)
