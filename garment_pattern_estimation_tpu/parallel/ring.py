@@ -141,26 +141,29 @@ def make_points_mesh(n_devices=None, devices=None):
     return Mesh(np.asarray(devices), (POINTS_AXIS,))
 
 
-def sharded_encoder_step(mesh, params_mlps, x, k, aggrs=None):
+def sharded_encoder_step(mesh, params_mlps, x, k, aggrs=None, data_axis=None):
     """Points-sharded stack of dynamic EdgeConv layers over `mesh` (a mesh
     with a `points` axis): shards the cloud's point axis, runs every layer
     through ring kNN over ICI, and returns per-point features plus the
-    global mean pool (psum-reduced — the cross-shard reduction the unsharded
-    encoder gets for free).
+    global mean pool (psum-reduced over points only — the cross-shard
+    reduction the unsharded encoder gets for free).
 
-    `params_mlps` is a list of `mlp_apply` callables (one per layer)."""
+    `params_mlps` is a list of `mlp_apply` callables (one per layer).
+    `data_axis` names a batch mesh axis for 2-D data x points meshes: the
+    batch shards orthogonally (each ring runs within its data-axis slice,
+    so DP and SP compose without interaction)."""
     n_shards = mesh.shape[POINTS_AXIS]
     aggrs = aggrs or ['max'] * len(params_mlps)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=P(None, POINTS_AXIS, None),
-        out_specs=(P(None, POINTS_AXIS, None), P()))
+        in_specs=P(data_axis, POINTS_AXIS, None),
+        out_specs=(P(data_axis, POINTS_AXIS, None), P(data_axis)))
     def run(x_local):
         h = x_local
         for mlp_apply, aggr in zip(params_mlps, aggrs):
             h = ring_edgeconv(h, mlp_apply, k, axis_size=n_shards, aggr=aggr)
-        # global mean pool: local sum + psum over shards
+        # global mean pool: local sum + psum over the points shards
         total = jax.lax.psum(jnp.sum(h, axis=1), POINTS_AXIS)
         count = jax.lax.psum(jnp.full((), h.shape[1], h.dtype), POINTS_AXIS)
         return h, total / count

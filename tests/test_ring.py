@@ -93,3 +93,35 @@ def test_sharded_encoder_matches_unsharded_edgeconv(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ring_on_2d_data_points_mesh(rng):
+    """DP x SP composition: a (data=2, points=4) mesh shards both the batch
+    and the point axis; each data slice runs its own 4-hop ring. Output
+    equals the unsharded computation."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 devices')
+    from jax.sharding import Mesh
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ('data', POINTS_AXIS))
+    x = jnp.asarray(rng.normal(size=(4, 32, 3)).astype(np.float32))
+    k = 3
+
+    layer = EdgeConv([12, 8], k=k, use_pallas=False)
+    v = layer.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+    h_ref = layer.apply(v, x, train=False)
+    pooled_ref = jnp.mean(h_ref, axis=1)
+
+    from garment_pattern_estimation_tpu.models.blocks import MLP
+    mlp = MLP([12, 8])
+
+    def apply0(edge):
+        return mlp.apply(
+            {'params': v['params']['MLP_0'],
+             'batch_stats': v['batch_stats']['MLP_0']}, edge, train=False)
+
+    h, pooled = sharded_encoder_step(mesh, [apply0], x, k, data_axis='data')
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled_ref),
+                               rtol=2e-4, atol=2e-4)
