@@ -18,8 +18,13 @@ from flax import serialization
 
 
 def _to_numpy_tree(tree):
+    # jax.device_get starts an async host copy of EVERY leaf before blocking
+    # on any — one round-trip of latency for the whole tree. A per-leaf
+    # np.asarray is one blocking transfer per leaf, which over a tunneled
+    # device transport turns a ~40 MB checkpoint into >10 s of latency.
+    fetched = jax.device_get(tree)
     return jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if hasattr(x, 'shape') else x, tree)
+        lambda x: np.asarray(x) if hasattr(x, 'shape') else x, fetched)
 
 
 def save_checkpoint_file(state, path):

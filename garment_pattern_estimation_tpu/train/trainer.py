@@ -271,16 +271,30 @@ class Trainer:
                 pending.append((log_step, epoch, batch_i, step_count, loss,
                                 loss_dict, time.perf_counter() - step_start))
 
-            # one sync per epoch: materialize all step metrics together
-            fetched = jax.device_get([(p[4], p[5]) for p in pending])
-            epoch_losses = [float(loss_v) for loss_v, _ in fetched]
+            # one sync per epoch: stack every step's loss + metric scalars
+            # into a single device array first — device_get on hundreds of
+            # individual device scalars costs one host<->device round trip
+            # EACH (ruinous over a tunneled transport), one (steps, 1+M)
+            # array costs one
+            metric_names = sorted(pending[0][5]) if pending else []
+            if pending:
+                stacked = jnp.stack([
+                    jnp.stack([jnp.asarray(p[4], jnp.float32)]
+                              + [jnp.asarray(p[5][k], jnp.float32)
+                                 for k in metric_names])
+                    for p in pending])
+                fetched = np.asarray(jax.device_get(stacked))
+            else:
+                fetched = np.zeros((0, 1))
+            epoch_losses = fetched[:, 0]
             # a NaN in ANY batch (not just the last) must trip early stopping
             last_loss = np.nan if np.any(np.isnan(epoch_losses)) \
-                else (epoch_losses[-1] if epoch_losses else np.nan)
-            for (lstep, ep, bi, sc, _, _, dispatch_time), (loss_v, ld) in zip(
+                else (float(epoch_losses[-1]) if len(epoch_losses) else np.nan)
+            for (lstep, ep, bi, sc, _, _, dispatch_time), row in zip(
                     pending, fetched):
-                log_record = {k: _scalar(v) for k, v in ld.items()}
-                log_record.update(epoch=ep, batch=bi, loss=float(loss_v),
+                log_record = {k: float(v) for k, v in
+                              zip(metric_names, row[1:])}
+                log_record.update(epoch=ep, batch=bi, loss=float(row[0]),
                                   learning_rate=float(self.schedule(sc)),
                                   step_time=dispatch_time)
                 self.experiment.log(log_record, step=lstep)
@@ -293,7 +307,9 @@ class Trainer:
                 rng = jax.random.fold_in(self._root_key, 2 ** 20 + epoch)
                 vloss, _ = eval_step(params, batch_stats, placed, rng)
                 valid_losses.append(vloss)
-            valid_loss = float(np.mean(jax.device_get(valid_losses)))
+            # stack on device first: one transfer, not one per batch
+            valid_loss = float(jnp.mean(jnp.stack(valid_losses))) \
+                if valid_losses else float('nan')
 
             # loss structure updated this epoch? -> reset 'best'
             structure_update = (
