@@ -31,7 +31,9 @@ def make_predict_fn(model, variables, rng_seed=0, bucket_pairs=False):
                     [features,
                      np.zeros((bucket - real,) + features.shape[1:],
                               features.dtype)])
-        preds = apply_jit(jnp.asarray(features), rng)
+        preds = jax.device_get(apply_jit(jnp.asarray(features), rng))
+        # device_get prefetches every leaf asynchronously: one host
+        # round-trip per batch instead of one per output head
         if isinstance(preds, dict):
             return {k: np.asarray(v)[:real] for k, v in preds.items()}
         return np.asarray(preds)[:real]
@@ -120,6 +122,9 @@ def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
         else:
             gt = jax.tree_util.tree_map(jnp.asarray, gt)
             full_loss, loss_dict = eval_batch(jnp.asarray(features), gt, rng)
+        # one async host fetch for the batch's scalars (a float() per metric
+        # would pay a device round-trip each)
+        full_loss, loss_dict = jax.device_get((full_loss, loss_dict))
         current_metrics['full_loss'].append(float(full_loss))
         for key, value in loss_dict.items():
             scalar = float(np.asarray(value)) if np.asarray(value).ndim == 0 else None

@@ -417,6 +417,7 @@ class Trainer:
                 preds = model.module.apply(
                     {'params': params, 'batch_stats': batch_stats},
                     jnp.asarray(batch['features']), train=False)
+                preds = jax.device_get(preds)  # one async fetch, all heads
                 preds = {k: np.asarray(v) for k, v in preds.items()}
                 img_files += self.datawrapper.dataset.save_prediction_batch(
                     preds, batch['name'], batch['data_folder'],
