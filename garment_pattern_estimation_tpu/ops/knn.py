@@ -436,6 +436,11 @@ def knn_pallas(points, k, tile_m=None, tile_n=None, interpret=False):
         tile_m = 128 if tile_m is None else tile_m
         tile_n = 1024 if tile_n is None else tile_n
     tile_m = min(tile_m, round_up(N, 8))
+    if tile_m & (tile_m - 1):
+        # keep tile_m a power of two: pad_n = lcm(tile_m, tile_n) with a
+        # coprime clamp (e.g. N=100 -> tile_m=104, lcm(104,128)=1664) would
+        # pad a 100-point cloud ~13x and multiply the kernel grid with it
+        tile_m = 1 << (tile_m.bit_length() - 1)
     tile_n = min(tile_n, round_up(N, 128))
     pad_n = round_up(N, math.lcm(tile_m, tile_n))
     pad_d = round_up(D, 128)  # lane-align features

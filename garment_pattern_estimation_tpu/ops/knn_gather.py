@@ -166,6 +166,10 @@ def _pad_points(x, n_pad, c_pad):
 
 def _fwd_pallas(x, k, interpret):
     B, N, C = x.shape
+    if k > N:
+        raise ValueError(f'knn_gather::k={k} exceeds the point count {N} '
+                         '(clamp k at the call site — the output slot count '
+                         'is part of downstream shapes)')
     c_pad = _round_up(C, _LANES)
     n_pad = _round_up(N, _LANES)
     if n_pad > _MAX_N_PAD:
@@ -255,7 +259,8 @@ def knn_gather(x, k, interpret=False):
     euclidean, ties to the lower index) up to the packed-distance
     quantization (top 21 mantissa-exponent bits — same deviation as the
     fused inference kernel, PARITY.md). Differentiable in the gathered
-    values; the graph itself is a constant of the VJP."""
+    values; the graph itself is a constant of the VJP. Requires k <= N
+    (clamp at the call site: the slot count shapes downstream arrays)."""
     nbr, idx_padded = _fwd_pallas(x, k, interpret)
     return nbr, idx_padded[:, :x.shape[1], :k]
 

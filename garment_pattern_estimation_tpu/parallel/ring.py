@@ -32,12 +32,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.knn import pairwise_sq_dists
+# the kernels' quantization class — imported, not copied: PARITY.md #5
+# equivalence rests on these being the same bits
+from ..ops.edgeconv import _IDX_MASK, _INT_MAX
 
 POINTS_AXIS = 'points'
-
-_IDX_BITS = 11
-_IDX_MASK = (1 << _IDX_BITS) - 1          # quantization class of the kernels
-_INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _quantized(dists):
@@ -163,9 +162,10 @@ def sharded_encoder_step(mesh, params_mlps, x, k, aggrs=None, data_axis=None):
         h = x_local
         for mlp_apply, aggr in zip(params_mlps, aggrs):
             h = ring_edgeconv(h, mlp_apply, k, axis_size=n_shards, aggr=aggr)
-        # global mean pool: local sum + psum over the points shards
+        # global mean pool: local sum + psum over the points shards; the
+        # denominator is static (shard size x shard count) — no collective,
+        # and no low-precision rounding of the count
         total = jax.lax.psum(jnp.sum(h, axis=1), POINTS_AXIS)
-        count = jax.lax.psum(jnp.full((), h.shape[1], h.dtype), POINTS_AXIS)
-        return h, total / count
+        return h, total / (h.shape[1] * n_shards)
 
     return run(x)

@@ -205,11 +205,15 @@ class Trainer:
             if n > 1:
                 print(f'Trainer::data-parallel mesh over {n} devices')
 
+        start_epoch = self._start_experiment(model)
+        # bind loaders and size the OneCycle schedule only AFTER
+        # _start_experiment: a resumed run reloads its stored split there,
+        # rebuilding the wrapper's loaders — binding earlier would train on
+        # the constructor-time split (validation leakage) with a schedule
+        # sized from the wrong steps-per-epoch
         train_loader = self.datawrapper.loaders.train
         valid_loader = self.datawrapper.loaders.validation
         tx = self._make_optimizer(len(train_loader))
-
-        start_epoch = self._start_experiment(model)
 
         # --- initialize / restore state ---
         if variables is None:
@@ -268,7 +272,9 @@ class Trainer:
                     params, batch_stats, opt_state, placed, rng)
                 step_count += 1
                 log_step += 1
-                pending.append((log_step, epoch, batch_i, step_count, loss,
+                # record the PRE-increment schedule index: optax applied
+                # schedule(step_count - 1) to this update
+                pending.append((log_step, epoch, batch_i, step_count - 1, loss,
                                 loss_dict, time.perf_counter() - step_start))
 
             # one sync per epoch: stack every step's loss + metric scalars
@@ -319,8 +325,14 @@ class Trainer:
             ) or (epoch == loss_config.get('epoch_with_order_matching', 0)
                   and loss_config.get('panel_order_inariant_loss', False))
 
-            if structure_update or best_valid_loss is None or valid_loss < best_valid_loss:
-                best_valid_loss = valid_loss
+            # a NaN validation loss must never latch into best_valid_loss:
+            # 'x < nan' is always False, so one bad epoch would pin the
+            # 'best' alias (and disable the flat-window early stop) forever
+            improved = np.isfinite(valid_loss) and (
+                best_valid_loss is None or not np.isfinite(best_valid_loss)
+                or valid_loss < best_valid_loss)
+            if structure_update or improved:
+                best_valid_loss = valid_loss if np.isfinite(valid_loss) else None
                 self._save_checkpoint(params, batch_stats, opt_state, epoch,
                                       step_count, best=True)
             else:
@@ -388,7 +400,8 @@ class Trainer:
             self.experiment.add_statistic('stopped early', 'Nan in losses',
                                           log='Trainer::EarlyStopping')
             return True
-        es_tracking.append(float(best_valid))
+        if best_valid is not None:  # None while no finite validation yet
+            es_tracking.append(float(best_valid))
         patience = self.setup.get('early_stopping', {}).get('patience', 50)
         window = self.setup.get('early_stopping', {}).get('window', 1e-4)
         if len(es_tracking) > patience + 1:
