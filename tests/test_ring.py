@@ -99,13 +99,15 @@ def test_sharded_encoder_matches_unsharded_edgeconv(rng):
 
 
 def test_ring_on_2d_data_points_mesh(rng):
-    """DP x SP composition: a (data=2, points=4) mesh shards both the batch
-    and the point axis; each data slice runs its own 4-hop ring. Output
-    equals the unsharded computation."""
-    if len(jax.devices()) < 8:
-        pytest.skip('needs 8 devices')
+    """DP x SP composition: a (data=2, points=2) mesh shards both the batch
+    and the point axis; each data slice runs its own ring. Output equals
+    the unsharded computation. (Small mesh on purpose: the ring unrolls at
+    trace time and CPU compile dominates; the 8-shard case is covered by
+    test_ring_knn_gather_matches_global_oracle.)"""
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4 devices')
     from jax.sharding import Mesh
-    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
     mesh = Mesh(devices, ('data', POINTS_AXIS))
     x = jnp.asarray(rng.normal(size=(4, 32, 3)).astype(np.float32))
     k = 3
