@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -282,9 +283,17 @@ class GarmentBaseDataset(BaseDataset):
 
         if not pattern_size_initialized:
             num_panels, num_edges, num_stitches = [], [], []
-            for data_folder, start_id in self.dataset_start_ids:
+            sorted_ids = sorted(self.dataset_start_ids, key=lambda x: x[1])
+            for (data_folder, start_id), (_, next_start) in zip(
+                    sorted_ids, sorted_ids[1:]):
                 if data_folder is None:
                     break
+                if start_id >= next_start:
+                    # every datapoint of this folder was filtered out (failed
+                    # sims / parameter filter): nothing to sample a size from
+                    # — and datapoints_names[start_id] would be the NEXT
+                    # folder's first entry (or out of range for the last one)
+                    continue
                 datapoint = self.datapoints_names[start_id]
                 folder_elements = [f.name for f in (self.root_path / datapoint).glob('*')]
                 pattern_flat, _, _, stitches, _ = self._read_pattern(
@@ -593,7 +602,11 @@ class Garment3DPatternFullDataset(GarmentBaseDataset):
                 f'not found for {datapoint_name}')
         verts, faces = mesh_ops.read_triangle_mesh(
             str(self.root_path / datapoint_name / obj_list[0]))
-        seed = (hash(datapoint_name) ^ self.config['sampling_seed']) & (2 ** 63 - 1)
+        # zlib.crc32, NOT hash(): str hashing is salted per process, which
+        # would break the deterministic-per-(datapoint, seed) guarantee
+        # across runs (stats vs eval vs parity checks)
+        seed = (zlib.crc32(datapoint_name.encode())
+                ^ self.config['sampling_seed']) & (2 ** 63 - 1)
         points = mesh_ops.sample_mesh_points(
             self.config['mesh_samples'], verts, faces, seed=seed)
         if self.config['point_noise_w']:
@@ -753,7 +766,8 @@ class GarmentStitchPairsDataset(GarmentBaseDataset):
         if self.config['random_pairs_mode']:
             seed = self.config.get('pairs_seed')
             rng = np.random.default_rng(
-                None if seed is None else (hash(datapoint_name) ^ seed) & (2 ** 63 - 1))
+                None if seed is None
+                else (zlib.crc32(datapoint_name.encode()) ^ seed) & (2 ** 63 - 1))
             features, ground_truth = pattern.stitches_as_3D_pairs(
                 self.config['stitched_edge_pairs_num'],
                 self.config['non_stitched_edge_pairs_num'],

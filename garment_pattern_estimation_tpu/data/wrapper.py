@@ -72,7 +72,9 @@ class DatasetWrapper:
         self.loaders.full_per_data_folder = self._loaders_dict(
             self.full_per_datafolder, self.batch_size)
 
-        if self.validation is not None and self.test is not None:
+        # train/validation loaders must not depend on a test section
+        # existing (a split with test_per_type=0/None is legal)
+        if self.training is not None:
             try:
                 self.dataset.config['balanced_batch_sampling'] = True
                 _, train_per_type = self.dataset.indices_by_data_folder(
@@ -87,6 +89,7 @@ class DatasetWrapper:
                 self.loaders.train = DataLoader(
                     self.training, self.batch_size, shuffle=shuffle_train, seed=seed)
 
+        if self.validation is not None:
             self.loaders.validation = DataLoader(self.validation, self.batch_size)
             self.loaders.valid_per_data_folder = self._loaders_dict(
                 self.validation_per_datafolder, self.batch_size)
@@ -97,6 +100,7 @@ class DatasetWrapper:
             self.loaders.valid_single_per_data = DataLoader(
                 Subset(self.dataset, single_ids), batch_size=self.batch_size)
 
+        if self.test is not None:
             self.loaders.test = DataLoader(self.test, self.batch_size)
             self.loaders.test_per_data_folder = self._loaders_dict(
                 self.test_per_datafolder, self.batch_size)
@@ -111,7 +115,9 @@ class DatasetWrapper:
     # ---- split reproduction ----
     def new_split(self, valid, test=None, random_seed=None):
         import time
-        self.split_info['random_seed'] = random_seed if random_seed else int(time.time())
+        # `is None`, not falsy: random_seed=0 is a legitimate fixed seed
+        self.split_info['random_seed'] = random_seed if random_seed is not None \
+            else int(time.time())
         self.split_info.update(valid_per_type=valid, test_per_type=test, type='count')
         return self.load_split()
 
@@ -121,7 +127,7 @@ class DatasetWrapper:
         import time
         if split_info:
             self.split_info = dict(split_info)
-        if not self.split_info.get('random_seed'):
+        if self.split_info.get('random_seed') is None:
             self.split_info['random_seed'] = int(time.time())
         rng = np.random.default_rng(self.split_info['random_seed'])
 

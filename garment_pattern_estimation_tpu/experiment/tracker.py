@@ -128,6 +128,12 @@ class ExperimentWrappper:
 
         if self.resumed:
             self._load_run_files()
+            # continue checkpoint versioning where the run left off: a reset
+            # counter would overwrite versions that aliases.json (e.g.
+            # 'best') still points at. Callers may still advance it (the
+            # trainer aligns it with the resumed epoch), but never backward.
+            self.checkpoint_counter = max(self.checkpoint_counter,
+                                          self._aliases().get('latest', -1) + 1)
         if config_extras:
             self.config.update(_to_jsonable(config_extras))
         self._save_config()

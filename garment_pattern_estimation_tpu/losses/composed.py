@@ -218,18 +218,27 @@ class ComposedPatternLoss:
         `epoch` must be a static int under jit (see module docstring)."""
         stitch_phase = epoch >= self.config['epoch_with_stitches'] and any(
             c in self.l_components for c in ('stitch', 'stitch_supervised', 'free_class'))
+        # GT stitch ids / free-edge masks must be renumbered along with any
+        # panel permutation/rotation whenever ANYTHING consumes them this
+        # epoch — the quality metrics included, not just the loss terms
+        # (otherwise stitch precision/recall would compare decoded stitches
+        # in permuted slot space against pre-permutation edge ids)
+        track_stitches = stitch_phase or (
+            self.with_quality_eval
+            and epoch >= self.config['epoch_with_stitches']
+            and any(c in self.q_components for c in ('stitch', 'free_class')))
 
         gt = dict(ground_truth)
         if self.config['panel_order_inariant_loss']:
             if 'segmentation' in self.l_components:
                 raise NotImplementedError(
                     'Order matching not supported for training with segmentation losses')
-            gt = self._gt_order_match(preds, gt, epoch, stitch_phase, rng)
+            gt = self._gt_order_match(preds, gt, epoch, track_stitches, rng)
 
         gt_num_edges = gt['num_edges'].astype(jnp.int32).reshape(-1)
 
         if self.config['panel_origin_invariant_loss']:
-            gt = self._rotate_gt(preds, gt, gt_num_edges, stitch_phase)
+            gt = self._rotate_gt(preds, gt, gt_num_edges, track_stitches)
 
         loss_dict = {}
         full_loss, main_dict = self._main_losses(preds, gt, gt_num_edges)
@@ -264,7 +273,7 @@ class ComposedPatternLoss:
         self.training = mode
 
     # ------------- GT order matching -------------
-    def _order_features(self, preds, gt, epoch, stitch_phase):
+    def _order_features(self, preds, gt, epoch, track_stitches):
         order_by = self.config['order_by']
         if order_by == 'placement':
             return (jnp.concatenate([preds['translations'], preds['rotations']], -1),
@@ -291,8 +300,8 @@ class ComposedPatternLoss:
         raise NotImplementedError(
             f'ComposedPatternLoss::ordering by <{order_by}> is not implemented')
 
-    def _gt_order_match(self, preds, gt, epoch, stitch_phase, rng):
-        pred_f, gt_f = self._order_features(preds, gt, epoch, stitch_phase)
+    def _gt_order_match(self, preds, gt, epoch, track_stitches, rng):
+        pred_f, gt_f = self._order_features(preds, gt, epoch, track_stitches)
         pred_f = jax.lax.stop_gradient(pred_f)
 
         if epoch < self.config['epoch_with_order_matching']:
@@ -311,7 +320,7 @@ class ComposedPatternLoss:
             updated['rotations'] = permute_panels(gt['rotations'], perm)
         if 'translation' in self.l_components:
             updated['translations'] = permute_panels(gt['translations'], perm)
-        if stitch_phase:
+        if track_stitches:
             updated['stitches'] = renumber_stitches_after_permute(
                 gt['stitches'], gt['num_stitches'], perm, self.max_panel_len)
             updated['free_edges_mask'] = permute_panels(gt['free_edges_mask'], perm)
@@ -320,11 +329,11 @@ class ComposedPatternLoss:
         return updated
 
     # ------------- GT loop-origin matching -------------
-    def _rotate_gt(self, preds, gt, gt_num_edges, stitch_phase):
+    def _rotate_gt(self, preds, gt, gt_num_edges, track_stitches):
         updated = dict(gt)
         updated['outlines'], leading = match_panel_origins(
             jax.lax.stop_gradient(preds['outlines']), gt['outlines'], gt_num_edges)
-        if stitch_phase:
+        if track_stitches:
             updated['stitches'] = renumber_stitches_after_shift(
                 gt['stitches'], gt['num_stitches'], leading, gt_num_edges,
                 self.max_pattern_size, self.max_panel_len)

@@ -8,6 +8,13 @@ import jax.numpy as jnp
 from ..core import InvalidPatternDefError
 
 
+def _bucket_size(n):
+    """Next power of two, min 32: the shared bucket policy of the pair
+    model's predict and eval paths (one XLA trace per bucket, not per
+    pattern — reference evaluates every pattern at its own pair count)."""
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 5)
+
+
 def make_predict_fn(model, variables, rng_seed=0, bucket_pairs=False):
     """features (numpy/jnp batch) -> prediction dict (numpy), jitted.
 
@@ -25,7 +32,7 @@ def make_predict_fn(model, variables, rng_seed=0, bucket_pairs=False):
         features = np.asarray(features, dtype=np.float32)
         real = features.shape[0]
         if bucket_pairs and features.ndim == 2:
-            bucket = 1 << max(int(np.ceil(np.log2(max(real, 1)))), 5)
+            bucket = _bucket_size(real)
             if bucket != real:
                 features = np.concatenate(
                     [features,
@@ -63,7 +70,7 @@ def _bucket_pad(features, gt):
     1 — on_test_set.py:96-97; SURVEY §7 hard-part 5). Returns
     (features, gt, mask)."""
     n = features.shape[1]
-    bucket = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 5)
+    bucket = _bucket_size(n)
     if bucket == n:
         return features, gt, np.ones(gt.shape, bool)
     pad = bucket - n

@@ -235,7 +235,11 @@ class Trainer:
             batch_stats = checkpoint['variables']['batch_stats']
             opt_state = checkpoint['opt_state']
             step_count = checkpoint['step']
-            self.experiment.checkpoint_counter = start_epoch
+            # align versions with epochs, but never rewind past what the
+            # tracker restored from aliases.json (overwriting an aliased
+            # version would corrupt 'best')
+            self.experiment.checkpoint_counter = max(
+                self.experiment.checkpoint_counter, start_epoch)
             print(f'Trainer::Resumed run from epoch {start_epoch}')
 
         if len(self.mesh.devices.flatten()) > 1:
