@@ -108,8 +108,8 @@ def main(argv=None):
     try:
         best = experiment.get_best_model()
         variables = best['variables']
-    except BaseException as e:
-        print(e)
+    except Exception as e:  # NOT BaseException: Ctrl-C must abort, not
+        print(e)            # silently continue into four eval sections
         print('Train::Warning::evaluating with the current (final) model state')
 
     datawrapper = trainer.datawrapper

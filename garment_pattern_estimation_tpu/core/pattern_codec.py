@@ -362,7 +362,11 @@ class NNSewingPattern(PatternSpec):
                 (stitch[1]['panel'], stitch[1]['edge']),
             ))
 
-        if stitch_pairs_num is not None and stitch_pairs_num > len(stitched_pairs_ids):
+        # duplication needs at least one constructed pair: if every stitch hit
+        # the missing-edge path above (badly predicted panels), fall through —
+        # the non-stitched top-up below compensates for the shortfall
+        if stitch_pairs_num is not None and len(stitched_pairs_ids) and \
+                stitch_pairs_num > len(stitched_pairs_ids):
             for _ in range(len(stitched_pairs_ids), stitch_pairs_num):
                 pairs.append(pairs[rng.integers(len(stitched_pairs_ids))])
                 mask.append(True)
@@ -454,7 +458,11 @@ class NNSewingPattern(PatternSpec):
                 edge_pair[1][0], edge_pair[1][1],
                 score=float(logits[pair_idx])))
 
-        # deduplicate: an edge may participate in at most one stitch
+        # deduplicate: an edge may participate in at most one stitch.
+        # NOTE: already-marked stitches keep participating in later
+        # comparisons (a removed stitch can still knock out its weaker
+        # conflicts) — this mirrors the reference's loop exactly
+        # (pattern_converter.py:440-456), quirk included, for parity
         to_remove = set()
         stitches = self.pattern['stitches']
         for base_id in range(len(stitches)):

@@ -123,12 +123,26 @@ def import_shape_model(pth_path, model_name='GarmentSegmentPattern3D'):
     if 'pattern_decoder.lstm.weight_ih_l0' in sd:
         params['pattern_decoder'] = {'lstm': _rnn(sd, 'pattern_decoder.lstm'),
                                      'lin': _dense(sd, 'pattern_decoder.lin')}
+    elif any(k.startswith('pattern_decoder.') for k in sd):
+        raise NotImplementedError(
+            'torch_import::unrecognized pattern_decoder layout in checkpoint '
+            '(only the LSTM pattern decoder is mapped): '
+            + ', '.join(sorted(k for k in sd
+                               if k.startswith('pattern_decoder.'))[:4]))
     if 'panel_decoder.lstm.weight_ih_l0' in sd:
         params['panel_decoder'] = {'lstm': _rnn(sd, 'panel_decoder.lstm'),
                                    'lin': _dense(sd, 'panel_decoder.lin')}
     elif 'panel_decoder.recurrent_cell.weight_ih_l0' in sd:  # GRU decoder
         params['panel_decoder'] = {'gru': _rnn(sd, 'panel_decoder.recurrent_cell'),
                                    'lin': _dense(sd, 'panel_decoder.lin')}
+    elif any(k.startswith('panel_decoder.') for k in sd):
+        # fail HERE, not as a cryptic missing-parameter error at apply():
+        # e.g. the double-reverse decoder's lstm_reverse/lstm_forward layout
+        raise NotImplementedError(
+            'torch_import::unrecognized panel_decoder layout in checkpoint '
+            '(LSTM and GRU decoders are mapped): '
+            + ', '.join(sorted(k for k in sd
+                               if k.startswith('panel_decoder.'))[:4]))
     params['placement_decoder'] = _dense(sd, 'placement_decoder')
 
     variables = {'params': params, 'batch_stats': batch_stats}

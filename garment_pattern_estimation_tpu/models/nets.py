@@ -90,6 +90,11 @@ class GarmentFullPattern3DModule(nn.Module):
                 graph_pooling=self.graph_pooling, pool_ratio=self.pool_ratio,
                 use_pallas=self.use_pallas, compute_dtype=self.compute_dtype,
                 name='feature_extractor')
+        if self.feature_extractor == 'EdgeConvPoolingFeatures':
+            return encoder_cls(
+                out_size=self.pattern_encoding_size,
+                k=self.k_neighbors, pool_ratio=self.pool_ratio,
+                use_pallas=self.use_pallas, name='feature_extractor')
         return encoder_cls(
             out_size=self.pattern_encoding_size,
             econv_hidden=self.econv_hidden, econv_feature=self.econv_feature,
@@ -164,9 +169,12 @@ class GarmentSegmentPattern3DModule(GarmentFullPattern3DModule):
 
     def panel_encodings_from_3d(self, positions, train=False):
         """(panel encodings (B, P, E), attention weights (B, N, P))."""
-        B, N, _ = positions.shape
+        B = positions.shape[0]
         global_enc, point_features, _ = self.encoder(
             positions, pool_global=not self.local_attention, train=train)
+        # the point count comes from the ENCODER output: graph pooling
+        # coarsens N (positions.shape[1] would mis-size every reshape below)
+        N = point_features.shape[1]
 
         if self.local_attention:
             att_input = point_features

@@ -231,3 +231,22 @@ def test_loss_origin_invariance(fake_preds):
     gt_rolled['outlines'] = jnp.asarray(outlines)
     loss2, _, _ = loss_obj(preds, gt_rolled, epoch=10)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+@pytest.mark.parametrize('extractor', ['PointNetPlusPlus',
+                                       'EdgeConvPoolingFeatures'])
+def test_alternative_encoders_build_and_run(extractor, features):
+    """Every ENCODER_REGISTRY entry must be constructible through the model
+    builder (EdgeConvPoolingFeatures used to receive kwargs its dataclass
+    does not declare) and produce a full prediction dict."""
+    nn_config = dict(NN_CONFIG, feature_extractor=extractor)
+    model = build_model('GarmentFullPattern3D', DATA_CONFIG, nn_config,
+                        {'loss_components': ['shape'],
+                         'quality_components': [],
+                         'panel_order_inariant_loss': False,
+                         'panel_origin_invariant_loss': False},
+                        use_pallas=False)
+    variables = model.init_variables(jax.random.PRNGKey(0), features)
+    preds = model.apply(variables, features, train=False)
+    assert preds['outlines'].shape == (B, 5, 6, 4)
+    assert np.isfinite(np.asarray(preds['outlines'])).all()
