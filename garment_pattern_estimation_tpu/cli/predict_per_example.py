@@ -16,7 +16,7 @@ import numpy as np
 
 from .common import load_yaml, system_properties, make_experiment
 from ..core import PatternSpec, NNSewingPattern
-from ..data import save_garments_prediction, GarmentStitchPairsDataset
+from ..data import save_garments_prediction
 from ..preprocess import mesh as mesh_ops
 from ..train import make_predict_fn
 
@@ -76,10 +76,16 @@ def main(argv=None):
         else:
             points = load_points_txt(filename)
         target = data_config.get('mesh_samples', 2000)
-        if abs(points.shape[0] - target) > 10:
-            selection = np.random.permutation(points.shape[0])[:target]
-            print(f'Warning::input point cloud has {points.shape[0]} points while '
-                  f'{target} are expected. Resampled.')
+        if points.shape[0] != target:
+            # the batch stack needs EXACT sizes: downsample without
+            # replacement, upsample with (permutation-slicing can never
+            # grow a small cloud)
+            rng = np.random.default_rng(601)
+            selection = rng.choice(points.shape[0], size=target,
+                                   replace=points.shape[0] < target)
+            if abs(points.shape[0] - target) > 10:
+                print(f'Warning::input point cloud has {points.shape[0]} '
+                      f'points while {target} are expected. Resampled.')
             points = points[selection]
         if 'standardize' in data_config:
             points = (points - np.asarray(data_config['standardize']['f_shift'])) \

@@ -81,31 +81,76 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self):
-        if self.prefetch and self.prefetch > 0:
-            return self._prefetch_iter()
-        return (self.collate_fn([self.dataset[i] for i in batch])
-                for batch in self._batches())
+        return _LoaderIter(self)
 
-    def _prefetch_iter(self):
-        q = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        error_holder = []
 
-        def worker():
+class _LoaderIter:
+    """Loader iterator with per-batch error surfacing and clean shutdown.
+
+    An exception raised while assembling batch i (e.g.
+    InvalidPatternDefError from the pattern codec) is raised from that
+    next() call and iteration CONTINUES with batch i+1 — callers that
+    catch-and-continue per batch (train/eval_utils.py, mirroring the
+    reference's skip-bad-batch eval loop) see one bad batch, not a
+    terminated epoch. A consumer that abandons iteration early stops the
+    prefetch worker instead of leaving it blocked on a full queue."""
+
+    _END = object()
+
+    def __init__(self, loader):
+        self._loader = loader
+        self._batches = loader._batches()
+        self._prefetching = bool(loader.prefetch and loader.prefetch > 0)
+        if self._prefetching:
+            self._q = queue.Queue(maxsize=loader.prefetch)
+            self._stop = threading.Event()
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def _assemble(self, ids):
+        return self._loader.collate_fn([self._loader.dataset[i] for i in ids])
+
+    def _put(self, item):
+        """Bounded put that gives up when the consumer is gone."""
+        while not self._stop.is_set():
             try:
-                for batch_ids in self._batches():
-                    q.put(self.collate_fn([self.dataset[i] for i in batch_ids]))
-            except BaseException as e:  # propagate into the consumer
-                error_holder.append(e)
-            finally:
-                q.put(sentinel)
+                self._q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
-        thread = threading.Thread(target=worker, daemon=True)
-        thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error_holder:
-                    raise error_holder[0]
-                return
-            yield item
+    def _worker(self):
+        try:
+            for ids in self._batches:
+                if self._stop.is_set():
+                    return
+                try:
+                    item = ('ok', self._assemble(ids))
+                except BaseException as e:  # noqa: BLE001 — forwarded per batch
+                    item = ('err', e)
+                if not self._put(item):
+                    return
+        finally:
+            self._put(('end', self._END))
+
+    def __next__(self):
+        if self._prefetching:
+            kind, payload = self._q.get()
+            if kind == 'end':
+                raise StopIteration
+            if kind == 'err':
+                raise payload
+            return payload
+        ids = next(self._batches)  # StopIteration ends iteration
+        return self._assemble(ids)  # assembly errors surface; iterator lives
+
+    def close(self):
+        if self._prefetching:
+            self._stop.set()
+
+    def __del__(self):
+        self.close()

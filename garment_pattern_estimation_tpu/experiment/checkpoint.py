@@ -34,7 +34,10 @@ def save_checkpoint_file(state, path):
     # into msgpack-serializable nested dicts
     data = serialization.msgpack_serialize(
         serialization.to_state_dict(_to_numpy_tree(state)))
-    tmp = path.with_suffix('.tmp')
+    # append rather than replace the suffix: with_suffix('.tmp') would make
+    # same-stem targets ('state.msgpack' / 'state.json') collide on one
+    # tmp file and install each other's bytes
+    tmp = path.with_name(path.name + '.tmp')
     tmp.write_bytes(data)
     tmp.replace(path)  # atomic on POSIX: no torn checkpoints on crashes
     return path

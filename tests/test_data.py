@@ -1,5 +1,7 @@
 """Dataset layer on the synthetic garment dataset: scanning, GT assembly,
 splits, standardization, balanced batching, stitch-pairs dataset."""
+import time
+
 import numpy as np
 import pytest
 
@@ -161,3 +163,60 @@ def test_loader_prefetch_and_shapes(dataset):
         assert isinstance(batch['name'], list)
         seen += batch['features'].shape[0]
     assert seen == len(dataset)
+
+
+def test_loader_survives_bad_batches():
+    """An exception during one batch's assembly surfaces from that next()
+    call and iteration CONTINUES — the eval loop's catch-and-continue
+    semantics (reference skips InvalidPatternDefError batches)."""
+    from garment_pattern_estimation_tpu.data.loader import DataLoader
+
+    class Flaky:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError('bad sample')
+            return {'x': np.full(2, i, dtype=np.float32)}
+
+    for prefetch in (0, 1):
+        loader = DataLoader(Flaky(), batch_size=2, prefetch=prefetch)
+        seen, errors = [], 0
+        it = iter(loader)
+        while True:
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            except ValueError:
+                errors += 1
+                continue
+            seen.append(int(batch['x'][0, 0]))
+        assert errors == 1, f'prefetch={prefetch}'
+        assert seen == [0, 4, 6], f'prefetch={prefetch}: {seen}'
+
+
+def test_loader_early_abandon_stops_worker():
+    """Breaking out of iteration early must not leave the prefetch worker
+    blocked on a full queue forever."""
+    import threading
+    from garment_pattern_estimation_tpu.data.loader import DataLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {'x': np.zeros(4, dtype=np.float32)}
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(DataLoader(Slow(), batch_size=2, prefetch=1))
+        next(it)
+        it.close()
+    # workers must exit (0.5 s put timeout); allow a little slack
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
