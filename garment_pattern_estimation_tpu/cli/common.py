@@ -1,7 +1,6 @@
 """Shared CLI plumbing: YAML config loading, system properties, model IO."""
 from __future__ import annotations
 
-import argparse
 from pathlib import Path
 
 import yaml
@@ -51,7 +50,11 @@ def merge_repos(root, repos):
     import shutil
     root = Path(root)
     merge_target = root / 'merged'
-    merge_target.mkdir(exist_ok=True)
+    if merge_target.exists():
+        # a fresh merge must not overlay a previous run's predictions:
+        # copytree(dirs_exist_ok) would silently mix stale datapoints in
+        shutil.rmtree(merge_target)
+    merge_target.mkdir()
     for repo in repos:
         src = root / repo
         if src.exists():

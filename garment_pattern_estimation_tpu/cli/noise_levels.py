@@ -31,12 +31,16 @@ def main(argv=None):
     section = 'full' if args.unseen else 'test'
 
     summaries = {}
+    model = variables = None
     for level in args.levels:
         dataset, wrapper = experiment.load_dataset(
             Path(system_info['datasets_path']),
             {'obj_filetag': 'sim', 'point_noise_w': level},
             unseen=args.unseen)
-        model, variables = experiment.load_model(dataset.config)
+        if model is None:
+            # the checkpoint/model is identical across noise levels — only
+            # the dataset's noise injection changes; load once
+            model, variables = experiment.load_model(dataset.config)
         metrics = eval_metrics(model, variables, wrapper, section)
         summaries[str(level)] = metrics
         print(f'noise {level}: {metrics}')

@@ -74,7 +74,9 @@ def render_pattern(pattern, out_file, view_ids=False, panels_per_row=6, spacing=
             offset_x = 0.0
             offset_y -= row_height + spacing
             row_height = 0.0
-        shift = np.array([offset_x - low[0], offset_y - low[1]])
+        # panels hang DOWNWARD from the row top: a panel taller than the
+        # previous row's height can then never overlap the row above
+        shift = np.array([offset_x - low[0], offset_y - low[1] - size[1]])
 
         path = panel_outline_path(panel)
         if path is not None:
@@ -82,7 +84,7 @@ def render_pattern(pattern, out_file, view_ids=False, panels_per_row=6, spacing=
             ax.add_patch(PathPatch(shifted, facecolor=colors[i % len(colors)],
                                    edgecolor='black', alpha=0.6, lw=1.2))
         label = name
-        ax.text(offset_x + size[0] / 2, offset_y + size[1] + 1.5, label,
+        ax.text(offset_x + size[0] / 2, offset_y + 1.5, label,
                 ha='center', fontsize=8)
         if view_ids:
             for vid, v in enumerate(verts):

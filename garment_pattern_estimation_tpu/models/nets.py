@@ -47,15 +47,19 @@ class GarmentFullPattern3DModule(nn.Module):
     feature_extractor: str = 'EdgeConvFeatures'
     panel_decoder: str = 'LSTMDecoderModule'
     pattern_decoder: str = 'LSTMDecoderModule'
-    # encoder knobs
+    # encoder knobs — defaults MATCH the registry's reference defaults
+    # (models/registry.py::_SHAPE_MODEL_DEFAULTS <- nn/net_blocks.py:98-109),
+    # so direct module instantiation builds the same architecture as
+    # build_model with no config (the published att.yaml overrides
+    # econv_feature=150 / skip_connections=True explicitly)
     conv_depth: int = 2
     k_neighbors: int = 5
     econv_hidden: int = 200
     econv_hidden_depth: int = 2
-    econv_feature: int = 150
+    econv_feature: int = 112
     econv_aggr: str = 'max'
     global_pool: str = 'mean'
-    skip_connections: bool = True
+    skip_connections: bool = False
     graph_pooling: bool = False
     pool_ratio: float = 0.1
     use_pallas: bool | None = None

@@ -44,7 +44,15 @@ def enable_compilation_cache(cache_dir=None):
         platform, fp = _backend_fingerprint()
         if platform == 'cpu':
             # CPU compiles are fast and CPU AOT blobs encode host machine
-            # features (cross-host reload risks SIGILL): never cache on CPU
+            # features (cross-host reload risks SIGILL): never cache on CPU.
+            # Disable EXPLICITLY — jax itself honors JAX_COMPILATION_CACHE_DIR
+            # from the environment, so merely returning would leave caching
+            # on at the raw, un-fingerprinted path
+            try:
+                jax.config.update('jax_enable_compilation_cache', False)
+                jax.config.update('jax_compilation_cache_dir', None)
+            except (AttributeError, ValueError):
+                pass
             return None
         cache_dir = os.path.join(base, f'{platform}-{fp}')
     os.makedirs(cache_dir, exist_ok=True)
