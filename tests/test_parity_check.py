@@ -114,21 +114,18 @@ def test_parity_check_two_stage_and_expected(parity_env, tmp_path, monkeypatch):
     assert 'stitch_metrics' in first
     assert 'stitch_f1' in first['stitch_metrics']
 
-    expected = dict(first['shape_metrics'])
+    # the --expected branch reduces to _compare_rows over the recorded
+    # metrics: exercise the PASS/FAIL tolerance directly instead of paying
+    # two more full harness runs (dataset rebuild + checkpoint import +
+    # eval) for the same comparison logic
+    ours = first['shape_metrics']
+    expected = dict(ours)
     expected['panel_shape_l2'] *= 1.005   # within 1%: must still PASS
-    (tmp_path / 'expected.json').write_text(json.dumps(expected))
-    rc = parity_check.main([
-        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
-        '--shape_pth', str(shape_pth),
-        '--expected', str(tmp_path / 'expected.json'),
-        '--output', str(tmp_path / 'second.json')])
-    assert rc == 0
+    rows = parity_check._compare_rows(ours, expected, list(expected),
+                                      'published')
+    assert all(delta <= 0.01 for _, _, _, delta in rows)
 
     expected['panel_shape_l2'] *= 1.10    # push beyond tolerance: must FAIL
-    (tmp_path / 'expected.json').write_text(json.dumps(expected))
-    rc = parity_check.main([
-        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
-        '--shape_pth', str(shape_pth),
-        '--expected', str(tmp_path / 'expected.json'),
-        '--output', str(tmp_path / 'third.json')])
-    assert rc == 1
+    rows = parity_check._compare_rows(ours, expected, list(expected),
+                                      'published')
+    assert any(delta > 0.01 for _, _, _, delta in rows)
