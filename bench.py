@@ -24,7 +24,9 @@ from pathlib import Path
 
 BATCH = 64
 NUM_POINTS = 2000
-CPU_BATCH = 2
+CPU_BATCH = 30   # the published recipe's batch size (configs/att.yaml) — the
+                 # baseline is measured at the same batch the reference trains
+                 # and serves with, so `vs_baseline` has no normalization caveat
 CACHE = Path(__file__).parent / '.bench_cpu_baseline.json'
 
 
@@ -191,7 +193,9 @@ def torch_cpu_baseline():
     """clouds/s of the torch reference model (published att scale) on CPU."""
     if CACHE.exists():
         payload = json.loads(CACHE.read_text())
-        if 'torch_clouds_per_sec' in payload:
+        # the cache is keyed on the measurement batch: a stale smaller-batch
+        # number must not survive a CPU_BATCH bump
+        if payload.get('batch') == CPU_BATCH and 'torch_clouds_per_sec' in payload:
             return payload['torch_clouds_per_sec']
     code = f'''
 import json, time
@@ -211,7 +215,8 @@ with torch.no_grad():
     for _ in range(iters):
         model(x)
     dt = (time.perf_counter() - start) / iters
-print("CPU_RESULT", json.dumps({{"torch_clouds_per_sec": {CPU_BATCH} / dt}}))
+print("CPU_RESULT", json.dumps(
+    {{"torch_clouds_per_sec": {CPU_BATCH} / dt, "batch": {CPU_BATCH}}}))
 '''
     result = subprocess.run([sys.executable, '-c', code], env=dict(os.environ),
                             capture_output=True, text=True, timeout=3600,
