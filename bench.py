@@ -189,6 +189,50 @@ def measure_stress_forward(batch=128, num_points=10000, iters=3):
     return (time.perf_counter() - start) / iters * 1e3
 
 
+def measure_mesh_to_prediction(batch=64, num_points=2000, v_cap=4096,
+                               f_cap=8192, iters=5):
+    """End-to-end mesh -> prediction: the on-device sampling stage
+    (area-weighted surface draw + noise + standardization,
+    preprocess/device_sampling) fused into the same jit as the flagship
+    forward — the pipeline the `dataset.on_device_sampling` mode runs,
+    with zero host-side preprocessing per batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    sys.path.insert(0, str(Path(__file__).parent))
+    from __graft_entry__ import entry, DATA_CONFIG
+    from garment_pattern_estimation_tpu.preprocess.device_sampling import (
+        make_batch_sampler)
+
+    forward, _ = entry(batch_size=batch, num_points=num_points)
+    data_config = dict(DATA_CONFIG, mesh_samples=num_points, point_noise_w=0.01)
+    data_config['standardize'] = dict(
+        DATA_CONFIG['standardize'],
+        f_shift=[0.037, -28.06, 1.078], f_scale=[16.35, 30.95, 9.60])
+    sampler = make_batch_sampler(data_config)
+
+    rng = np.random.default_rng(0)
+    verts = rng.normal(size=(batch, v_cap, 3)).astype(np.float32) * 20.0
+    faces = rng.integers(0, v_cap, size=(batch, f_cap, 3)).astype(np.int32)
+    mesh = {'verts': jnp.asarray(verts), 'faces': jnp.asarray(faces),
+            'n_verts': jnp.full((batch,), v_cap, jnp.int32),
+            'vert_labels': jnp.zeros((batch, v_cap), jnp.int32)}
+
+    @jax.jit
+    def run(mesh_batch, key):
+        def step(i, acc):
+            pts, _ = sampler(jax.random.fold_in(key, i), mesh_batch)
+            out = forward(pts + acc * 1e-12)
+            return out['outlines'].sum() * 1e-12
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    key = jax.random.PRNGKey(0)
+    np.asarray(run(mesh, key))  # compile + sync
+    start = time.perf_counter()
+    np.asarray(run(mesh, key))
+    return (time.perf_counter() - start) / iters * 1e3
+
+
 def torch_cpu_baseline():
     """clouds/s of the torch reference model (published att scale) on CPU."""
     if CACHE.exists():
@@ -246,6 +290,10 @@ def main():
         extras['stress_forward_128x10k_ms'] = round(measure_stress_forward(), 2)
     except Exception as e:  # noqa: BLE001
         print(f'bench::warning::stress forward failed ({e})', file=sys.stderr)
+    try:
+        extras['mesh_to_pred_64x2000_ms'] = round(measure_mesh_to_prediction(), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::mesh-to-pred bench failed ({e})', file=sys.stderr)
     try:
         baseline = torch_cpu_baseline()
         extras['torch_reference_cpu_clouds_per_sec'] = round(baseline, 3)

@@ -87,9 +87,14 @@ def main(argv=None):
     trainer.init_randomizer()
 
     # --- model ---
+    # a points-sharded (2-D) mesh needs the XLA encoder path: the Pallas
+    # kernels assume a device-local point axis (docs/Running.md TPU notes)
+    mesh_cfg = config['trainer'].get('mesh')
+    use_pallas = False if (isinstance(mesh_cfg, dict)
+                           and int(mesh_cfg.get('points', 1)) > 1) else None
     model = build_model(config['NN'].get('model', 'GarmentSegmentPattern3D'),
                         dataset.config, config['NN'],
-                        config['NN'].get('loss', {}))
+                        config['NN'].get('loss', {}), use_pallas=use_pallas)
     model.loss.with_quality_eval = True
     model.loss.debug_prints = True
 

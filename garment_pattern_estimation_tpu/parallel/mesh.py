@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 DATA_AXIS = 'data'
+POINTS_AXIS = 'points'
 
 
 def make_mesh(n_devices=None, devices=None):
@@ -26,6 +27,28 @@ def make_mesh(n_devices=None, devices=None):
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(data, points, devices=None):
+    """2-D (data x points) mesh: batch shards over `data`, each data slice
+    shards its clouds' point axis over `points` (sequence parallelism —
+    the `trainer.mesh: {data: d, points: p}` config). Collectives within a
+    ring of `points` neighbors ride ICI."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < data * points:
+        raise ValueError(
+            f'make_mesh_2d::{data}x{points} mesh needs {data * points} '
+            f'devices, only {len(devices)} visible')
+    grid = np.asarray(devices[:data * points]).reshape(data, points)
+    return Mesh(grid, (DATA_AXIS, POINTS_AXIS))
+
+
+def points_sharding(mesh):
+    """(B, N, C) features: batch over the data axis, points over the points
+    axis. XLA's SPMD partitioner propagates this through the whole step —
+    the N^2 distance work shards over queries, pools psum over points."""
+    return NamedSharding(mesh, P(DATA_AXIS, POINTS_AXIS))
 
 
 def batch_sharding(mesh):
@@ -39,13 +62,17 @@ def replicated_sharding(mesh):
 
 def shard_batch(mesh, batch):
     """Place every array of a (pytree) batch with its leading axis sharded
-    over the mesh. Batch size must divide the mesh size — callers pad/crop."""
-    sharding = batch_sharding(mesh)
-
-    def place(x):
-        return jax.device_put(x, sharding)
-
-    return jax.tree_util.tree_map(place, batch)
+    over the mesh's data axis. Batch size must divide the data-axis size —
+    callers pad/crop. On a 2-D (data x points) mesh, 3-D `features` arrays
+    (B, N, C) additionally shard their point axis over the points axis."""
+    data_sharding = batch_sharding(mesh)
+    placed = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding), batch)
+    if (POINTS_AXIS in mesh.axis_names and isinstance(placed, dict)
+            and getattr(placed.get('features'), 'ndim', 0) == 3):
+        placed['features'] = jax.device_put(
+            placed['features'], points_sharding(mesh))
+    return placed
 
 
 def replicate(mesh, tree):

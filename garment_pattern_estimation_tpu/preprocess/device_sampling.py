@@ -96,3 +96,55 @@ def pad_mesh(verts, faces, v_cap, f_cap):
     out_f = np.zeros((f_cap, 3), np.int32)
     out_f[:len(faces)] = faces
     return out_v, out_f, len(verts)
+
+
+def make_batch_sampler(data_config):
+    """The `dataset.on_device_sampling` pipeline stage: a jittable
+    ``fn(key, mesh_features) -> (points, segmentation)`` closing over the
+    dataset config.
+
+    `mesh_features` is the collated batch the dataset emits in on-device
+    mode: {'verts' (B, Vcap, 3), 'faces' (B, Fcap, 3), 'n_verts' (B,),
+    'vert_labels' (B, Vcap) int32 (-1 where no segmentation exists)}.
+    The stage fuses, per cloud: area-weighted surface sampling +
+    `point_noise_w` gaussian noise (the host path of
+    nn/data/datasets.py:822-861), nearest-vertex segmentation snap
+    (:863-905), and feature standardization — all under one jit, ahead of
+    the encoder. Returns standardized points (B, N, 3) and per-point class
+    labels (B, N) int32 (zeros when the batch carries no labels)."""
+    num_points = int(data_config['mesh_samples'])
+    noise_w = float(data_config.get('point_noise_w', 0) or 0)
+    stats = data_config.get('standardize')
+    if not stats or 'f_shift' not in stats:
+        raise ValueError(
+            'make_batch_sampler::feature standardization stats missing — call '
+            'dataset.standardize() (or put them in the config) first')
+    shift = jnp.asarray(stats['f_shift'], jnp.float32)
+    scale = jnp.asarray(stats['f_scale'], jnp.float32)
+
+    def sample_one(key, verts, faces, n_verts, vert_labels):
+        pts, _ = sample_surface(key, verts, faces, num_points, noise_w)
+        valid = jnp.arange(verts.shape[0]) < n_verts
+        snap_idx = snap_to_vertices(pts, verts, valid)
+        segm = jnp.maximum(vert_labels[snap_idx], 0).astype(jnp.int32)
+        return (pts - shift) / scale, segm
+
+    def sampler(key, mesh_features):
+        verts = jnp.asarray(mesh_features['verts'], jnp.float32)
+        keys = jax.random.split(key, verts.shape[0])
+        return jax.vmap(sample_one)(
+            keys, verts,
+            jnp.asarray(mesh_features['faces'], jnp.int32),
+            jnp.asarray(mesh_features['n_verts'], jnp.int32),
+            jnp.asarray(mesh_features['vert_labels'], jnp.int32))
+
+    return sampler
+
+
+def maybe_batch_sampler(data_config):
+    """`make_batch_sampler` when the config enables on-device sampling,
+    else None — the one-liner every consumer (trainer, eval, predict)
+    gates on."""
+    if data_config.get('on_device_sampling'):
+        return make_batch_sampler(data_config)
+    return None

@@ -15,20 +15,34 @@ def _bucket_size(n):
     return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 5)
 
 
-def make_predict_fn(model, variables, rng_seed=0, bucket_pairs=False):
+def make_predict_fn(model, variables, rng_seed=0, bucket_pairs=False,
+                    device_sampler=None):
     """features (numpy/jnp batch) -> prediction dict (numpy), jitted.
 
     `bucket_pairs`: pad 2D (n_pairs, F) inputs to the next power of two and
     slice the outputs back — the exhaustive-pairs stitch path feeds a
     different pair count per pattern (reference: on_test_set.py:96-97), which
-    would otherwise force one XLA compile per pattern."""
-    apply_jit = jax.jit(lambda feats, rng: model.module.apply(
-        variables, feats, train=False, rngs={'recurrent_init': rng}))
+    would otherwise force one XLA compile per pattern.
+
+    `device_sampler` (preprocess/device_sampling.make_batch_sampler): when
+    set and the features are mesh dicts, sampling fuses into the same jit as
+    the forward — the end-to-end mesh->prediction path."""
+    def _apply(feats, rng):
+        if device_sampler is not None and isinstance(feats, dict):
+            feats, _ = device_sampler(jax.random.fold_in(rng, 7), feats)
+        return model.module.apply(variables, feats, train=False,
+                                  rngs={'recurrent_init': rng})
+
+    apply_jit = jax.jit(_apply)
     counter = [0]
 
     def predict(features):
         counter[0] += 1
         rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), counter[0])
+        if isinstance(features, dict):
+            preds = jax.device_get(apply_jit(
+                jax.tree_util.tree_map(jnp.asarray, features), rng))
+            return {k: np.asarray(v) for k, v in preds.items()}
         features = np.asarray(features, dtype=np.float32)
         real = features.shape[0]
         if bucket_pairs and features.ndim == 2:
@@ -48,19 +62,26 @@ def make_predict_fn(model, variables, rng_seed=0, bucket_pairs=False):
     return predict
 
 
-def eval_metrics(model, variables, data_wrapper, section='test', rng_seed=0):
+def eval_metrics(model, variables, data_wrapper, section='test', rng_seed=0,
+                 device_sampler=None):
     """Mean of every loss/quality scalar over a data section (or a dict of
     per-folder sections). None-valued (nan) metrics are skipped per batch
-    like the reference (nn/metrics/eval_utils.py:12-76)."""
+    like the reference (nn/metrics/eval_utils.py:12-76). `device_sampler`
+    handles datasets in on-device-sampling mode (mesh-dict features)."""
     loss = model.loss
     if hasattr(loss, 'with_quality_eval'):
         loss.with_quality_eval = True
+    if device_sampler is None:
+        from ..preprocess.device_sampling import maybe_batch_sampler
+        device_sampler = maybe_batch_sampler(data_wrapper.dataset.config)
 
     loader = data_wrapper.get_loader(section)
     if isinstance(loader, dict):
-        return {folder: _eval_metrics_per_loader(model, variables, sub_loader, rng_seed)
+        return {folder: _eval_metrics_per_loader(model, variables, sub_loader,
+                                                 rng_seed, device_sampler)
                 for folder, sub_loader in loader.items()}
-    return _eval_metrics_per_loader(model, variables, loader, rng_seed)
+    return _eval_metrics_per_loader(model, variables, loader, rng_seed,
+                                    device_sampler)
 
 
 def _bucket_pad(features, gt):
@@ -83,7 +104,8 @@ def _bucket_pad(features, gt):
     return features, gt, mask
 
 
-def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
+def _eval_metrics_per_loader(model, variables, loader, rng_seed=0,
+                             device_sampler=None):
     current_metrics = {'full_loss': []}
 
     # forward + loss fused under ONE jit: the composed loss has hundreds of
@@ -91,6 +113,9 @@ def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
     # evaluation would mean per-op dispatches
     @jax.jit
     def eval_batch(feats, gt, rng):
+        if device_sampler is not None and isinstance(feats, dict):
+            feats, segm = device_sampler(jax.random.fold_in(rng, 7), feats)
+            gt = dict(gt, segmentation=segm)
         preds = model.module.apply(variables, feats, train=False,
                                    rngs={'recurrent_init': rng})
         full_loss, loss_dict, _ = model.loss(preds, gt)
@@ -119,16 +144,22 @@ def _eval_metrics_per_loader(model, variables, loader, rng_seed=0):
         if not isinstance(gt, dict) and (gt is None or np.asarray(gt).size == 0):
             gt = batch['features']  # reconstruction fallback
 
-        features = np.asarray(batch['features'])
-        if (not isinstance(gt, dict) and features.ndim == 3
+        if isinstance(batch['features'], dict):  # on-device sampling mode
+            gt = jax.tree_util.tree_map(jnp.asarray, gt)
+            full_loss, loss_dict = eval_batch(
+                jax.tree_util.tree_map(jnp.asarray, batch['features']), gt, rng)
+        elif (not isinstance(gt, dict)
+                and np.asarray(batch['features']).ndim == 3
                 and np.asarray(gt).ndim == 2):
             # stitch-pairs eval: variable pair counts -> bucketed + masked
-            features, gt, mask = _bucket_pad(features, np.asarray(gt))
+            features, gt, mask = _bucket_pad(
+                np.asarray(batch['features']), np.asarray(gt))
             full_loss, loss_dict = eval_batch_masked(
                 jnp.asarray(features), jnp.asarray(gt), jnp.asarray(mask), rng)
         else:
             gt = jax.tree_util.tree_map(jnp.asarray, gt)
-            full_loss, loss_dict = eval_batch(jnp.asarray(features), gt, rng)
+            full_loss, loss_dict = eval_batch(
+                jnp.asarray(np.asarray(batch['features'])), gt, rng)
         # one async host fetch for the batch's scalars (a float() per metric
         # would pay a device round-trip each)
         full_loss, loss_dict = jax.device_get((full_loss, loss_dict))

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import optax
 
 from ..data import DatasetWrapper
-from ..parallel import (make_mesh, shard_batch, replicate,
+from ..parallel import (make_mesh, make_mesh_2d, shard_batch, replicate,
                         pad_batch_to_multiple, DATA_AXIS)
+from ..preprocess.device_sampling import maybe_batch_sampler
 
 
 class Trainer:
@@ -39,6 +40,7 @@ class Trainer:
         self.log_with_visualization = with_visualization
         self.setup = dict(setup)
         self.mesh = mesh
+        self.device_sampler = None  # set in fit() once the config is final
         self._step_cache = {}
 
         if dataset is not None:
@@ -127,17 +129,26 @@ class Trainer:
         stitch_phase, order_random = phase
         epoch_c = self._canonical_epoch(model.loss.config, stitch_phase, order_random)
 
+        sampler = getattr(self, 'device_sampler', None)
+
         def step(params, batch_stats, opt_state, batch, rng):
             rng_states, rng_drop, rng_loss = jax.random.split(rng, 3)
+            features, ground_truth = batch['features'], batch['ground_truth']
+            if sampler is not None:
+                # fresh surface draw per step (free augmentation the fixed
+                # host-sampled clouds can't provide); labels from the fused
+                # on-device snap
+                features, segm = sampler(jax.random.fold_in(rng, 7), features)
+                ground_truth = dict(ground_truth, segmentation=segm)
 
             def loss_fn(p):
                 preds, mutated = model.module.apply(
                     {'params': p, 'batch_stats': batch_stats},
-                    batch['features'], train=True, mutable=['batch_stats'],
+                    features, train=True, mutable=['batch_stats'],
                     rngs={'recurrent_init': rng_states, 'dropout': rng_drop})
                 preds = jax.tree_util.tree_map(lambda x: x[:real_size], preds)
                 gt = jax.tree_util.tree_map(lambda x: x[:real_size],
-                                            batch['ground_truth'])
+                                            ground_truth)
                 loss, loss_dict, _ = model.loss(
                     preds, gt, epoch=epoch_c, rng=rng_loss)
                 return loss, (loss_dict, mutated['batch_stats'])
@@ -159,14 +170,22 @@ class Trainer:
         stitch_phase, order_random = phase
         epoch_c = self._canonical_epoch(model.loss.config, stitch_phase, order_random)
 
+        sampler = getattr(self, 'device_sampler', None)
+
         def step(params, batch_stats, batch, rng):
+            features, ground_truth = batch['features'], batch['ground_truth']
+            if sampler is not None:
+                # deterministic per-epoch key: validation sees the same
+                # clouds every time it runs at a given epoch
+                features, segm = sampler(jax.random.fold_in(rng, 7), features)
+                ground_truth = dict(ground_truth, segmentation=segm)
             preds = model.module.apply(
                 {'params': params, 'batch_stats': batch_stats},
-                batch['features'], train=False,
+                features, train=False,
                 rngs={'recurrent_init': rng})
             preds = jax.tree_util.tree_map(lambda x: x[:real_size], preds)
             gt = jax.tree_util.tree_map(lambda x: x[:real_size],
-                                        batch['ground_truth'])
+                                        ground_truth)
             loss, loss_dict, _ = model.loss(preds, gt, epoch=epoch_c, rng=rng)
             return loss, loss_dict
 
@@ -181,9 +200,12 @@ class Trainer:
         still shard over every device."""
         arrays = {'features': batch['features'],
                   'ground_truth': batch['ground_truth']}
-        size = int(arrays['features'].shape[0])
+        feats = arrays['features']
+        size = int((feats['verts'] if isinstance(feats, dict) else feats).shape[0])
         if self.mesh is not None and len(self.mesh.devices.flatten()) > 1:
-            n = len(self.mesh.devices.flatten())
+            # pad to the DATA axis size: on a 2-D mesh the points axis
+            # shards within each sample, not across the batch
+            n = self.mesh.shape[DATA_AXIS]
             arrays, size = pad_batch_to_multiple(arrays, n)
             return shard_batch(self.mesh, arrays), size
         return jax.tree_util.tree_map(jnp.asarray, arrays), size
@@ -197,13 +219,23 @@ class Trainer:
         if not hasattr(self, '_root_key'):
             self.init_randomizer()
         if self.mesh is None:
-            # full data-parallel mesh: remainder batches are padded to a mesh
-            # multiple and sliced off before the loss, so every batch size
-            # shards over every device (DataParallel-any-batch behavior)
-            n = len(jax.devices())
-            self.mesh = make_mesh(n)
-            if n > 1:
-                print(f'Trainer::data-parallel mesh over {n} devices')
+            mesh_cfg = self.setup.get('mesh')
+            if isinstance(mesh_cfg, dict) and int(mesh_cfg.get('points', 1)) > 1:
+                # 2-D data x points mesh (sequence parallelism): features
+                # shard their point axis too; XLA's SPMD partitioner
+                # propagates the sharding through the whole train step
+                d, p = int(mesh_cfg.get('data', 1)), int(mesh_cfg['points'])
+                self.mesh = make_mesh_2d(d, p)
+                print(f'Trainer::{d}x{p} data x points mesh')
+            else:
+                # full data-parallel mesh: remainder batches are padded to a
+                # mesh multiple and sliced off before the loss, so every
+                # batch size shards over every device (DataParallel-any-batch)
+                n = int(mesh_cfg['data']) if isinstance(mesh_cfg, dict) \
+                    else len(jax.devices())
+                self.mesh = make_mesh(n)
+                if n > 1:
+                    print(f'Trainer::data-parallel mesh over {n} devices')
 
         start_epoch = self._start_experiment(model)
         # bind loaders and size the OneCycle schedule only AFTER
@@ -214,13 +246,16 @@ class Trainer:
         train_loader = self.datawrapper.loaders.train
         valid_loader = self.datawrapper.loaders.validation
         tx = self._make_optimizer(len(train_loader))
+        # after _start_experiment: a resumed run's restored config decides
+        # whether the on-device sampling stage is part of the step
+        self.device_sampler = maybe_batch_sampler(self.datawrapper.dataset.config)
 
         # --- initialize / restore state ---
         if variables is None:
             sample = next(iter(train_loader))
             init_key = jax.random.fold_in(self._root_key, 0)
-            variables = model.init_variables(
-                init_key, jnp.asarray(sample['features'][:2]))
+            init_features = self._example_points(sample, init_key, count=2)
+            variables = model.init_variables(init_key, init_features)
         params, batch_stats = variables['params'], variables.get('batch_stats', {})
         opt_state = tx.init(params)
         step_count = 0
@@ -360,6 +395,17 @@ class Trainer:
         return self.final_variables, opt_state
 
     # ------------- internals -------------
+    def _example_points(self, batch, key, count=2):
+        """A (count, N, 3) point-cloud slice of a host batch — running the
+        on-device sampling stage first when features are mesh tensors."""
+        features = batch['features']
+        if self.device_sampler is not None and isinstance(features, dict):
+            features = {k: jnp.asarray(np.asarray(v)[:count])
+                        for k, v in features.items()}
+            points, _ = self.device_sampler(key, features)
+            return points
+        return jnp.asarray(features[:count])
+
     def _maybe_profile(self, step_count):
         """Capture a jax.profiler device trace for a short step window when
         `trainer.profile` is configured (SURVEY §5.1: the reference had no
@@ -431,9 +477,16 @@ class Trainer:
         try:
             img_files = []
             for batch in loader:
+                features = batch['features']
+                if self.device_sampler is not None and isinstance(features, dict):
+                    features, _ = self.device_sampler(
+                        jax.random.fold_in(self._root_key, 2 ** 21 + epoch),
+                        jax.tree_util.tree_map(jnp.asarray, features))
+                else:
+                    features = jnp.asarray(features)
                 preds = model.module.apply(
                     {'params': params, 'batch_stats': batch_stats},
-                    jnp.asarray(batch['features']), train=False)
+                    features, train=False)
                 preds = jax.device_get(preds)  # one async fetch, all heads
                 preds = {k: np.asarray(v) for k, v in preds.items()}
                 img_files += self.datawrapper.dataset.save_prediction_batch(

@@ -77,3 +77,82 @@ def test_snap_to_vertices_masks_padding():
     idx_raw = snap_to_vertices(jnp.asarray([[0.001, 0.001, 0.0]]),
                                jnp.asarray(pv), valid)
     assert int(idx_raw[0]) == 0
+
+
+# ----------------------------------------------------------------------
+# pipeline integration: dataset.on_device_sampling mode end to end
+# ----------------------------------------------------------------------
+
+def test_on_device_sampling_trains_and_evaluates(synthetic_dataset_root,
+                                                 tmp_path):
+    """`on_device_sampling: true` swaps host clouds for padded mesh features;
+    the whole stack (Trainer, eval_metrics, make_predict_fn) must run the
+    fused sample+noise+snap stage ahead of the encoder."""
+    from garment_pattern_estimation_tpu.data import Garment3DPatternFullDataset
+    from garment_pattern_estimation_tpu.experiment import ExperimentWrappper
+    from garment_pattern_estimation_tpu.models import build_model
+    from garment_pattern_estimation_tpu.train import (
+        Trainer, eval_metrics, make_predict_fn)
+    from garment_pattern_estimation_tpu.preprocess.device_sampling import (
+        maybe_batch_sampler)
+
+    dataset = Garment3DPatternFullDataset(
+        synthetic_dataset_root,
+        {'data_folders': ['tee_synth_300', 'skirt_synth_300'],
+         'mesh_samples': 60, 'on_device_sampling': True,
+         'mesh_vertex_cap': 256, 'mesh_face_cap': 512,
+         'point_noise_w': 0.01,
+         'panel_classification': str(synthetic_dataset_root / 'panel_classes.json')},
+        gt_caching=True, feature_caching=True)
+
+    sample = dataset[0]
+    assert isinstance(sample['features'], dict)
+    assert sample['features']['verts'].shape == (256, 3)
+    assert sample['features']['faces'].shape == (512, 3)
+    # synthetic data ships segmentation files: vertex labels must be present
+    assert (sample['features']['vert_labels'] >= 0).any()
+
+    experiment = ExperimentWrappper(
+        {'experiment': {'project_name': 'test-project', 'run_name': 'ods'}},
+        output_root=tmp_path)
+    trainer = Trainer(
+        {'batch_size': 4, 'epochs': 2, 'random_seed': 3,
+         'learning_rate': 2e-3, 'optimizer': 'Adam',
+         'lr_scheduling': {'mode': '1cyclic'},
+         'early_stopping': {'window': 1e-8, 'patience': 50}},
+        experiment, dataset,
+        {'valid_per_type': 1, 'test_per_type': 1, 'type': 'count',
+         'random_seed': 10},
+        with_norm=True, with_visualization=False)
+    trainer.init_randomizer()
+    model = build_model(
+        'GarmentSegmentPattern3D', dataset.config,
+        {'panel_encoding_size': 16, 'panel_hidden_size': 16,
+         'panel_n_layers': 1, 'EConv_hidden': 10, 'EConv_feature': 8,
+         'k_neighbors': 4, 'conv_depth': 1, 'skip_connections': True,
+         'local_attention': True},
+        {'loss_components': ['shape', 'loop'],
+         'quality_components': ['shape', 'discrete'],
+         'panel_order_inariant_loss': False,
+         'panel_origin_invariant_loss': False},
+        use_pallas=False)
+    variables, _ = trainer.fit(model)
+    assert trainer.device_sampler is not None
+
+    import json
+    records = [json.loads(line) for line in
+               (experiment.run_dir() / 'metrics.jsonl').read_text().splitlines()]
+    losses = [r['loss'] for r in records if 'loss' in r]
+    assert losses and all(np.isfinite(v) for v in losses)
+
+    metrics = eval_metrics(model, variables, trainer.datawrapper, 'validation')
+    assert metrics['full_loss'] is not None and np.isfinite(metrics['full_loss'])
+    assert 'panel_shape_l2' in metrics
+
+    # mesh -> prediction in one jit
+    predict = make_predict_fn(model, variables,
+                              device_sampler=maybe_batch_sampler(dataset.config))
+    batch = next(iter(trainer.datawrapper.loaders.validation))
+    preds = predict(batch['features'])
+    assert preds['outlines'].shape[0] == batch['ground_truth']['outlines'].shape[0]
+    assert np.isfinite(preds['outlines']).all()

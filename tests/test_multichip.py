@@ -112,3 +112,93 @@ def test_remainder_batch_shards_with_exact_loss():
         epoch=0, rng=jax.random.PRNGKey(7))
     np.testing.assert_allclose(float(loss_sharded), float(loss_plain),
                                rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices for 2x4')
+def test_points_sharded_training_matches_single_device():
+    """`trainer.mesh: {data: 2, points: 4}`: the train step runs with the
+    cloud's point axis sharded over the points mesh axis (XLA SPMD inserts
+    the collectives) — losses must match the single-device oracle."""
+    import jax.numpy as jnp
+    import optax
+    from garment_pattern_estimation_tpu.models import build_model
+    from garment_pattern_estimation_tpu.parallel import (
+        make_mesh_2d, replicate, POINTS_AXIS)
+    from garment_pattern_estimation_tpu.train.trainer import Trainer
+
+    data_config = {
+        'element_size': 4, 'rotation_size': 4, 'translation_size': 3,
+        'max_panel_len': 6, 'max_pattern_len': 5, 'max_num_stitches': 4,
+        'standardize': {
+            'gt_shift': {'outlines': [0, 0, 0, 0], 'rotations': [0, 0, 0, 0],
+                         'translations': [0, 0, 0], 'stitch_tags': [0, 0, 0]},
+            'gt_scale': {'outlines': [1, 1, 1, 1], 'rotations': [1, 1, 1, 1],
+                         'translations': [1, 1, 1], 'stitch_tags': [1, 1, 1]},
+        },
+    }
+    nn_config = {'panel_encoding_size': 16, 'panel_hidden_size': 16,
+                 'panel_n_layers': 1, 'EConv_hidden': 8, 'EConv_feature': 8,
+                 'conv_depth': 1, 'k_neighbors': 3, 'local_attention': True,
+                 'skip_connections': True, 'global_pool': 'mean',
+                 'lstm_init': ''}
+    model = build_model('GarmentSegmentPattern3D', data_config, nn_config,
+                        {'quality_components': []}, use_pallas=False)
+
+    rng = np.random.default_rng(11)
+    B, N, P, L = 4, 64, 5, 6
+    batch = {
+        'features': rng.normal(size=(B, N, 3)).astype(np.float32),
+        'ground_truth': {
+            'outlines': rng.normal(size=(B, P, L, 4)).astype(np.float32),
+            'rotations': rng.normal(size=(B, P, 4)).astype(np.float32),
+            'translations': rng.normal(size=(B, P, 3)).astype(np.float32),
+            'num_edges': np.full((B, P), 4, dtype=np.int32),
+            'num_panels': np.full((B,), P, dtype=np.int32),
+            'empty_panels_mask': np.zeros((B, P), dtype=bool),
+            'stitches': np.zeros((B, 2, 4), dtype=np.int32),
+            'num_stitches': np.ones((B,), dtype=np.int32),
+            'free_edges_mask': np.ones((B, P, L), dtype=bool),
+            'stitch_tags': rng.normal(size=(B, P, L, 3)).astype(np.float32),
+        },
+    }
+    import jax as _jax
+    variables = model.init_variables(_jax.random.PRNGKey(0),
+                                     jnp.asarray(batch['features'][:2]))
+    tx = optax.adam(1e-3)
+
+    def run_steps(trainer, variables, n_steps=2):
+        # fresh buffers per run: the train step donates its state arguments
+        params = _jax.tree_util.tree_map(jnp.array, variables['params'])
+        stats = _jax.tree_util.tree_map(jnp.array,
+                                        variables.get('batch_stats', {}))
+        if trainer.mesh is not None:
+            params = replicate(trainer.mesh, params)
+            stats = replicate(trainer.mesh, stats)
+        opt_state = tx.init(params)
+        losses = []
+        for i in range(n_steps):
+            placed, real = (trainer._place_batch(batch)
+                            if trainer.mesh is not None
+                            else (_jax.tree_util.tree_map(jnp.asarray, batch), B))
+            step = trainer._train_step_fn(model, tx, (False, False), real)
+            params, stats, opt_state, loss, _ = step(
+                params, stats, opt_state, placed, _jax.random.PRNGKey(100 + i))
+            losses.append(float(loss))
+        return losses
+
+    sharded = Trainer.__new__(Trainer)
+    sharded.mesh = make_mesh_2d(2, 4)
+    sharded._step_cache = {}
+    assert sharded.mesh.shape[POINTS_AXIS] == 4
+
+    single = Trainer.__new__(Trainer)
+    single.mesh = None
+    single._step_cache = {}
+
+    placed, _ = sharded._place_batch(batch)
+    # the feature point axis really shards over the points mesh axis
+    assert placed['features'].sharding.spec[1] == POINTS_AXIS
+
+    losses_sharded = run_steps(sharded, variables)
+    losses_single = run_steps(single, variables)
+    np.testing.assert_allclose(losses_sharded, losses_single, rtol=2e-5)
