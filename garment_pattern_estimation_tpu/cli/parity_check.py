@@ -46,8 +46,9 @@ def get_args(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--dataset_root', required=True)
     parser.add_argument('--shape_config', default='./configs/att.yaml')
-    parser.add_argument('--shape_pth', required=True,
-                        help='reference shape checkpoint (.pth) or native msgpack')
+    parser.add_argument('--shape_pth', default='',
+                        help='reference shape checkpoint (.pth) or native '
+                             'msgpack; optional with --torch_train_cross_check')
     parser.add_argument('--stitch_config', default='./configs/stitch_model.yaml')
     parser.add_argument('--stitch_pth', default='',
                         help='reference stitch checkpoint; omit to skip stage 2')
@@ -55,13 +56,20 @@ def get_args(argv=None):
                         help='JSON of published metric values to compare against')
     parser.add_argument('--tolerance', type=float, default=0.01)
     parser.add_argument('--torch_cross_check', action='store_true')
+    parser.add_argument('--torch_train_cross_check', action='store_true',
+                        help='TRAIN both stacks (torch reference recipe vs '
+                             'this framework) from the same init on the same '
+                             'batches and compare converged test metrics')
+    parser.add_argument('--train_epochs', type=int, default=40,
+                        help='epochs for --torch_train_cross_check')
+    parser.add_argument('--train_seed', type=int, default=0)
     parser.add_argument('--max_datapoints', type=int, default=None,
                         help='cap per-type datapoints (quick smoke runs)')
     parser.add_argument('--output', default='./parity_report.json')
     return parser.parse_args(argv)
 
 
-def _build_shape_stack(args):
+def _build_shape_stack(args, load_checkpoint=True):
     config = load_yaml(args.shape_config)
     data_config = dict(config['dataset'])
     if args.max_datapoints:
@@ -81,19 +89,16 @@ def _build_shape_stack(args):
     model = build_model(nn_config.get('model', 'GarmentSegmentPattern3D'),
                         dataset.config, nn_config, nn_config.get('loss', {}))
     variables = load_checkpoint_any(
-        args.shape_pth, model_name=config['NN'].get('model'))['variables']
+        args.shape_pth, model_name=config['NN'].get('model'))['variables'] \
+        if load_checkpoint else None
     return config, dataset, wrapper, model, variables
 
 
-def _torch_replica_metrics(config, dataset, wrapper, model, shape_pth):
-    """Replay the checkpoint with the torch replica on the SAME test batches
-    and compute the SAME metrics via our loss stack — model-level parity."""
-    import torch
-    import jax.numpy as jnp
+def _replica_from_config(config, dataset):
     from ..experiment.torch_reference import TorchGarmentSegmentPattern3D
 
     nn_cfg = config['NN']
-    replica = TorchGarmentSegmentPattern3D(
+    return TorchGarmentSegmentPattern3D(
         max_pattern_len=dataset.config['max_pattern_len'],
         max_panel_len=dataset.config['max_panel_len'],
         element_size=dataset.config['element_size'],
@@ -105,19 +110,19 @@ def _torch_replica_metrics(config, dataset, wrapper, model, shape_pth):
         econv_feature=nn_cfg.get('EConv_feature', 150),
         k_neighbors=nn_cfg.get('k_neighbors', 5),
         conv_depth=nn_cfg.get('conv_depth', 2),
-        skip_connections=nn_cfg.get('skip_connections', True)).eval()
-    ckpt = torch.load(shape_pth, map_location='cpu', weights_only=False)
-    state = ckpt.get('model_state_dict', ckpt)
-    state = {k.removeprefix('module.'): v for k, v in state.items()}
-    # strict: a key mismatch means the replica no longer mirrors the
-    # reference's module naming — that must fail loudly, not leave random
-    # weights that masquerade as an import bug
-    replica.load_state_dict(state, strict=True)
+        skip_connections=nn_cfg.get('skip_connections', True))
 
-    # aggregate exactly like train/eval_utils.eval_metrics: unweighted mean
-    # over batches, nan-valued metrics skipped per batch
+
+def _torch_eval_metrics(replica, wrapper, model, section='test'):
+    """Evaluate a torch replica instance on `section` batches through OUR
+    loss/metric stack — the same aggregation as train/eval_utils
+    .eval_metrics (unweighted batch mean, nan metrics skipped)."""
+    import torch
+    import jax.numpy as jnp
+
+    replica.eval()
     metrics = {}
-    for batch in wrapper.loaders.test:
+    for batch in wrapper.get_loader(section):
         with torch.no_grad():
             preds = replica(torch.from_numpy(np.asarray(
                 batch['features'], dtype=np.float32)))
@@ -129,6 +134,132 @@ def _torch_replica_metrics(config, dataset, wrapper, model, shape_pth):
             if value.ndim == 0 and np.isfinite(float(value)):
                 metrics.setdefault(key, []).append(float(value))
     return {k: sum(v) / len(v) for k, v in metrics.items() if v}
+
+
+def _train_cross_check(args, config, dataset, wrapper, model, report):
+    """Train the torch replica (reference recipe: Adam + OneCycle + composed
+    loss, nn/trainer.py:162-185) AND this framework's stack from the same
+    init on the same batch sequence; compare converged test metrics.
+
+    Both stacks: zero recurrent init states, one optax schedule driving the
+    per-step lr, identical standardized host batches."""
+    import tempfile
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..experiment.torch_import import import_shape_model
+    from ..experiment.torch_reference import train_reference_torch
+
+    loss_cfg = model.loss.config
+    unsupported = [c for c in loss_cfg['loss_components']
+                   if c not in ('shape', 'loop', 'rotation', 'translation')]
+    if unsupported or loss_cfg.get('panel_order_inariant_loss') \
+            or loss_cfg.get('panel_origin_invariant_loss'):
+        raise NotImplementedError(
+            'parity_check::--torch_train_cross_check replicates the published '
+            f'att recipe (shape/loop/rotation/translation, no order or origin '
+            f'matching); config asks for {loss_cfg["loss_components"]}')
+
+    # one materialized batch sequence consumed by BOTH stacks
+    train_loader = wrapper.loaders.train
+    epoch_batches = []
+    for _ in range(args.train_epochs):
+        epoch_batches.append([
+            {'features': np.asarray(b['features'], np.float32),
+             'ground_truth': {k: np.asarray(v)
+                              for k, v in b['ground_truth'].items()}}
+            for b in train_loader])
+    total_steps = sum(len(e) for e in epoch_batches)
+    lr = config['trainer'].get('learning_rate', 2e-3)
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 4), peak_value=lr,
+        pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
+
+    torch.manual_seed(args.train_seed)
+    replica = _replica_from_config(config, dataset)
+    with tempfile.TemporaryDirectory() as tmp:
+        init_pth = Path(tmp) / 'init.pth'
+        torch.save({'model_state_dict': replica.state_dict()}, init_pth)
+        variables = import_shape_model(
+            init_pth, model_name=config['NN'].get('model'))['variables']
+
+    pad_vector = np.asarray(model.loss.pad_vector, np.float32)
+    loop_w = loss_cfg.get('loop_loss_weight', 1.0)
+
+    print(f'parity_check::training the torch reference recipe '
+          f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
+    torch_hist = train_reference_torch(replica, epoch_batches, schedule,
+                                       pad_vector, loop_weight=loop_w)
+
+    print('parity_check::training this framework on the same batches')
+    tx = optax.adam(schedule)
+    params, stats = variables['params'], variables['batch_stats']
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, batch):
+        def loss_fn(p):
+            preds, mutated = model.module.apply(
+                {'params': p, 'batch_stats': stats}, batch['features'],
+                train=True, mutable=['batch_stats'])
+            loss, _, _ = model.loss(preds, batch['ground_truth'], epoch=0)
+            return loss, mutated['batch_stats']
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    jax_hist = []
+    for batches in epoch_batches:
+        pending = []
+        for batch in batches:
+            placed = jax.tree_util.tree_map(jnp.asarray, batch)
+            params, stats, opt_state, loss = step(params, stats, opt_state,
+                                                  placed)
+            pending.append(loss)
+        jax_hist += [float(v) for v in jax.device_get(pending)]
+
+    trained_vars = {'params': params, 'batch_stats': stats}
+    report['train_loss_first_step'] = {'torch': torch_hist[0],
+                                       'ours': jax_hist[0]}
+    report['train_loss_last_epoch'] = {
+        'torch': float(np.mean(torch_hist[-len(epoch_batches[-1]):])),
+        'ours': float(np.mean(jax_hist[-len(epoch_batches[-1]):]))}
+    print(f"parity_check::first-step loss torch={torch_hist[0]:.5f} "
+          f"ours={jax_hist[0]:.5f}; last-epoch mean "
+          f"torch={report['train_loss_last_epoch']['torch']:.5f} "
+          f"ours={report['train_loss_last_epoch']['ours']:.5f}")
+
+    print('parity_check::evaluating both trained models on the test split '
+          '(same metric stack)')
+    ours = eval_metrics(model, trained_vars, wrapper, 'test')
+    torch_metrics = _torch_eval_metrics(replica, wrapper, model)
+    report['trained_shape_metrics'] = {
+        k: ours.get(k) for k in SHAPE_METRICS if k in ours}
+    report['torch_trained_metrics'] = {
+        k: torch_metrics.get(k) for k in SHAPE_METRICS if k in torch_metrics}
+    return ours, _compare_rows(ours, torch_metrics, SHAPE_METRICS,
+                               'torch_trained')
+
+
+def _torch_replica_metrics(config, dataset, wrapper, model, shape_pth):
+    """Replay the checkpoint with the torch replica on the SAME test batches
+    and compute the SAME metrics via our loss stack — model-level parity."""
+    import torch
+
+    replica = _replica_from_config(config, dataset)
+    ckpt = torch.load(shape_pth, map_location='cpu', weights_only=False)
+    state = ckpt.get('model_state_dict', ckpt)
+    state = {k.removeprefix('module.'): v for k, v in state.items()}
+    # strict: a key mismatch means the replica no longer mirrors the
+    # reference's module naming — that must fail loudly, not leave random
+    # weights that masquerade as an import bug
+    replica.load_state_dict(state, strict=True)
+    return _torch_eval_metrics(replica, wrapper, model)
 
 
 def _compare_rows(ours, other, keys, label):
@@ -154,15 +285,28 @@ def main(argv=None):
 
 def _main_impl(args):
     report = {'dataset_root': args.dataset_root, 'shape_pth': args.shape_pth}
+    if not args.shape_pth and not args.torch_train_cross_check:
+        raise SystemExit('parity_check::--shape_pth is required unless '
+                         '--torch_train_cross_check trains from scratch')
 
-    config, dataset, wrapper, model, variables = _build_shape_stack(args)
-    print('parity_check::evaluating shape model on the test split')
-    ours = eval_metrics(model, variables, wrapper, 'test')
-    report['shape_metrics'] = {k: ours.get(k) for k in SHAPE_METRICS if k in ours}
-    print(json.dumps(report['shape_metrics'], indent=1))
+    config, dataset, wrapper, model, variables = _build_shape_stack(
+        args, load_checkpoint=bool(args.shape_pth))
 
     rows = []
-    if args.torch_cross_check:
+    ours = {}
+    if args.torch_train_cross_check:
+        ours, train_rows = _train_cross_check(
+            args, config, dataset, wrapper, model, report)
+        rows += train_rows
+
+    if variables is not None:
+        print('parity_check::evaluating shape model on the test split')
+        ours = eval_metrics(model, variables, wrapper, 'test')
+        report['shape_metrics'] = {
+            k: ours.get(k) for k in SHAPE_METRICS if k in ours}
+        print(json.dumps(report['shape_metrics'], indent=1))
+
+    if args.torch_cross_check and args.shape_pth:
         print('parity_check::torch replica cross-check (same batches, same metrics)')
         torch_metrics = _torch_replica_metrics(
             config, dataset, wrapper, model, args.shape_pth)

@@ -17,6 +17,7 @@ states (the flax models use zeros whenever no 'recurrent_init' rng is given).
 """
 from __future__ import annotations
 
+import numpy as np
 import torch
 import torch.nn as nn
 
@@ -219,6 +220,84 @@ class TorchStitchOnEdge3DPairs(nn.Module):
     def forward(self, pairs):
         flat = pairs.reshape(-1, pairs.shape[-1])
         return self.mlp(flat).reshape(pairs.shape[:-1])
+
+
+# ----------------------------------------------------------------------
+# Reference training recipe (for the cross-framework training A/B)
+# ----------------------------------------------------------------------
+
+def torch_panel_loop_loss(outlines, num_edges, pad_vector):
+    """Loop-closure prior, mirroring losses/components.panel_loop_loss
+    (reference semantics: nn/metrics/losses.py:19-51): squared norm of each
+    panel's un-padded edge-vector sum; panels with <3 edges contribute
+    nothing but stay in the denominator."""
+    panels = outlines.reshape(-1, *outlines.shape[-2:])            # (BP, L, 4)
+    BP, L, _ = panels.shape
+    ne = num_edges.reshape(-1)
+    in_loop = torch.arange(L)[None, :] < ne[:, None]               # (BP, L)
+    coords = panels[..., :2] - pad_vector[:2]
+    loop_sum = (coords * in_loop[..., None]).sum(dim=1)            # (BP, 2)
+    loop_sum = torch.where((ne >= 3)[:, None], loop_sum,
+                           torch.zeros_like(loop_sum))
+    return (loop_sum ** 2).sum() / (BP * 2)
+
+
+def torch_composed_loss(preds, gt, pad_vector, loop_weight=1.0):
+    """The published att recipe's training loss (configs/att.yaml:
+    loss_components [shape, loop, rotation, translation], no order/origin
+    matching) in torch — term-for-term the same means as
+    losses/composed.ComposedPatternLoss._main_losses."""
+    pattern = ((preds['outlines'] - gt['outlines']) ** 2).mean()
+    loop = torch_panel_loop_loss(preds['outlines'], gt['num_edges'],
+                                 pad_vector)
+    rot = ((preds['rotations'] - gt['rotations']) ** 2).mean()
+    transl = ((preds['translations'] - gt['translations']) ** 2).mean()
+    full = pattern + loop_weight * loop + rot + transl
+    return full, {'pattern_loss': pattern, 'loop_loss': loop,
+                  'rotation_loss': rot, 'translation_loss': transl}
+
+
+def _torch_gt(gt):
+    out = {key: torch.from_numpy(np.asarray(gt[key], dtype=np.float32))
+           for key in ('outlines', 'rotations', 'translations')}
+    out['num_edges'] = torch.from_numpy(
+        np.asarray(gt['num_edges'], dtype=np.int64))
+    return out
+
+
+def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
+                          loop_weight=1.0, on_step=None):
+    """Train the torch replica with the reference recipe (Adam + per-step
+    scheduled lr + composed loss — nn/trainer.py:162-185).
+
+    `epoch_batches`: list (epochs) of lists of host batches — the SAME
+    batch sequence the JAX training loop consumes, so the two trajectories
+    are directly comparable. `lr_schedule(step) -> lr` is the same optax
+    schedule the JAX optimizer runs (identical lr sequences by
+    construction; optax/torch Adam are the same update for eps=1e-8,
+    betas=(0.9, 0.999)). Returns the per-step loss history."""
+    pad = torch.from_numpy(np.array(pad_vector, dtype=np.float32))  # owns data
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)  # lr set per step
+    model.train()
+    history = []
+    step = 0
+    for batches in epoch_batches:
+        for batch in batches:
+            for group in opt.param_groups:
+                group['lr'] = float(lr_schedule(step))
+            opt.zero_grad()
+            feats = torch.from_numpy(
+                np.asarray(batch['features'], dtype=np.float32))
+            preds = model(feats)
+            loss, terms = torch_composed_loss(
+                preds, _torch_gt(batch['ground_truth']), pad, loop_weight)
+            loss.backward()
+            opt.step()
+            history.append(float(loss.detach()))
+            if on_step is not None:
+                on_step(step, history[-1])
+            step += 1
+    return history
 
 
 def randomize_reference_weights(model, seed=0):

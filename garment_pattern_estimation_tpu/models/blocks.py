@@ -22,6 +22,7 @@ import flax.linen as nn
 from ..ops.knn import knn as knn_search, pairwise_sq_dists
 from ..ops.pooling import GLOBAL_POOLS, gather_neighbors
 from ..ops.edgeconv import fold_mlp_bn, fused_edgeconv, fused_edgeconv_supported
+from ..ops.edgeconv_train import chunked_edgeconv_train
 from ..ops.knn_gather import knn_gather, knn_gather_supported
 
 
@@ -49,16 +50,34 @@ class MLP(nn.Module):
     compute_dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stats_pairs=None):
+        """Standard mode: Dense->ReLU->BN stacks on `x`.
+
+        `stats_pairs` mode (x ignored, returns None): drive each BatchNorm's
+        running-statistics update from externally computed global (mean, var)
+        pairs — the chunked EdgeConv training path (ops/edgeconv_train)
+        computes the layer math itself but the running averages must keep
+        living at their checkpoint-compatible names. Each BN sees a two-row
+        tensor [mean - sqrt(var), mean + sqrt(var)] whose batch statistics
+        are exactly (mean, var — biased), so its update rule is untouched."""
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
-        for size in self.features:
-            x = nn.Dense(size, dtype=dtype)(x)
-            x = nn.relu(x)
+        for i, size in enumerate(self.features):
+            if stats_pairs is None:
+                x = nn.Dense(size, dtype=dtype)(x)
+                x = nn.relu(x)
+            else:
+                nn.Dense(size, dtype=dtype)  # keep auto-name counters aligned
             if self.batch_norm:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9, epsilon=1e-5, dtype=dtype)(x)
-        return x
+                bn = nn.BatchNorm(use_running_average=not train,
+                                  momentum=0.9, epsilon=1e-5, dtype=dtype)
+                if stats_pairs is None:
+                    x = bn(x)
+                else:
+                    mean, var = stats_pairs[i]
+                    spread = jnp.sqrt(jnp.maximum(var, 0.0))
+                    bn(jax.lax.stop_gradient(
+                        jnp.stack([mean - spread, mean + spread])))
+        return None if stats_pairs is not None else x
 
 
 # ----------------------------------------------------------------------
@@ -78,12 +97,37 @@ class EdgeConv(nn.Module):
     aggr: str = 'max'
     use_pallas: bool | None = None
     compute_dtype: str | None = None
+    # training-path chunking (ops/edgeconv_train): None = auto (on when the
+    # gathered edge tensor would exceed _CHUNK_TRAIN_BYTES), True/False force
+    train_chunked: bool | None = None
+    train_chunk_size: int | None = None
+
+    _CHUNK_TRAIN_BYTES = 1 << 27  # 128 MB of (B, N, k, 2C) f32 edges
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, N, C = x.shape
         mlp = MLP(self.mlp_features, compute_dtype=self.compute_dtype,
                   name='MLP_0')
+
+        if train and not self.is_initializing():
+            chunked = self.train_chunked
+            if chunked is None:
+                chunked = (B * N * min(self.k, N) * 2 * C * 4
+                           > self._CHUNK_TRAIN_BYTES)
+            if chunked and self.compute_dtype is None:
+                # chunked + rematerialized training path: the (B, N, k, C)
+                # gather and per-layer MLP intermediates never materialize
+                # (stress-config training would OOM otherwise); BN batch
+                # statistics are global, gradients exact (edgeconv_train)
+                idx = knn_search(
+                    jax.lax.stop_gradient(x).astype(jnp.float32),
+                    min(self.k, N), use_pallas=self.use_pallas)
+                out, stats_pairs = chunked_edgeconv_train(
+                    x, idx, self.get_variable('params', 'MLP_0'),
+                    chunk=self.train_chunk_size, aggr=self.aggr)
+                mlp(None, train=True, stats_pairs=stats_pairs)
+                return out
 
         pallas_on = self.use_pallas if self.use_pallas is not None \
             else jax.default_backend() == 'tpu'

@@ -1,0 +1,147 @@
+"""Memory-bounded TRAINING path for dynamic EdgeConv: chunked, rematerialized,
+fully differentiable — the (B, N, k, C) gathered-neighbor tensor and the
+(B, N, k, H) edge-MLP intermediates never exist.
+
+The eval path fuses the whole layer in Pallas (ops/edgeconv.py). Training
+additionally needs (a) BatchNorm statistics over ALL edge rows — which couple
+every chunk, and (b) gradients. This module re-expresses the layer as L+1
+sweeps over query chunks (reference layer semantics:
+nn/net_blocks.py:124-135 edge MLP on [x_i ; x_j - x_i] + max aggregation,
+:43-47 Dense->ReLU->BN ordering):
+
+  sweep l (l = 0..L-1): recompute layers 0..l-1 per chunk with the already
+      -known batch statistics, accumulate sum / sum-of-squares of
+      relu(z_l) -> (mean_l, var_l). Layer l+1's input depends on BN_l's
+      output, so statistics are inherently sequential in l.
+  final sweep: apply all layers with the global statistics, max over the
+      k neighbor slots.
+
+Every sweep is a `lax.scan` whose body is `jax.checkpoint`ed: forward keeps
+only the per-chunk outputs (and O(C) stat partials), backward recomputes the
+chunk intermediates. Peak memory is O(B * chunk * k * C) instead of
+O(B * N * k * C) — at the 128 x 10k stress config that is the difference
+between ~200 MB in flight and a 9.8 GB HBM OOM.
+
+Autodiff handles the BN-statistics coupling exactly: (mean_l, var_l) are
+differentiable functions of the weights/inputs, so the backward pass gets
+the full training-mode BatchNorm gradient (including the stat terms) without
+a hand-written VJP.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _layer_params(mlp_params):
+    """[(W, b, gamma, beta)] per layer from an MLP variable subtree
+    (params collection: Dense_i / BatchNorm_i, models/blocks.MLP)."""
+    layers = []
+    i = 0
+    while f'Dense_{i}' in mlp_params:
+        dense = mlp_params[f'Dense_{i}']
+        bn = mlp_params.get(f'BatchNorm_{i}')
+        layers.append((dense['kernel'], dense['bias'],
+                       None if bn is None else bn['scale'],
+                       None if bn is None else bn['bias']))
+        i += 1
+    return layers
+
+
+def _apply_layers(h, layers, stats, upto, eps, final_relu_only=False):
+    """Layers [0, upto): Dense -> ReLU -> BN with the given global stats.
+    When `final_relu_only`, layer upto-1 stops after ReLU (its statistics
+    are what the caller is accumulating)."""
+    for l in range(upto):
+        W, b, gamma, beta = layers[l]
+        h = jnp.maximum(h @ W + b, 0.0)
+        if final_relu_only and l == upto - 1:
+            return h
+        if gamma is not None:
+            mean, var = stats[l]
+            h = (h - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return h
+
+
+def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
+                           aggr='max'):
+    """EdgeConv training forward with global BatchNorm batch statistics,
+    computed in O(B * chunk * k * C) memory.
+
+    Args:
+      x: (B, N, C) point features.
+      idx: (B, N, k) neighbor indices, slot 0 = self (ops/knn semantics).
+      mlp_params: the layer's MLP params subtree (Dense_i / BatchNorm_i).
+      chunk: queries per sweep step (default: whole N in one chunk when
+        it is small, else ~512 padded to a divisor of N).
+    Returns (out (B, N, F), [(mean_l, var_l)] per layer) — both
+    differentiable; statistics are biased (flax BatchNorm semantics).
+    """
+    B, N, C = x.shape
+    k = idx.shape[-1]
+    layers = _layer_params(mlp_params)
+    L = len(layers)
+
+    if chunk is None:
+        chunk = N if B * N * k * 2 * C <= (1 << 26) else 512
+    chunk = min(chunk, N)
+    pad = (-N) % chunk
+    if pad:
+        # padded queries gather real rows but are excluded from statistics
+        # by masking and sliced off the output
+        x_q = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+    else:
+        x_q = x
+    n_chunks = (N + pad) // chunk
+    starts = jnp.arange(n_chunks) * chunk
+
+    def chunk_valid(start):
+        rows = start + jnp.arange(chunk)
+        return (rows < N)[None, :, None, None]                # (1, c, 1, 1)
+
+    # x for gathering must be the UNpadded rows (idx targets < N); the
+    # padded query rows only exist on the query side
+    def edges_at(start):
+        idx_c = jax.lax.dynamic_slice_in_dim(idx, start, chunk, axis=1)
+        nbr = jnp.take_along_axis(x[:, :, None, :], idx_c[..., None], axis=1)
+        center = jax.lax.dynamic_slice_in_dim(x_q, start, chunk, axis=1)
+        center = jnp.broadcast_to(center[:, :, None, :], nbr.shape)
+        return jnp.concatenate([center, nbr - center], axis=-1)
+
+    count = B * N * k
+    stats = []
+    for l in range(L):
+        if layers[l][2] is None:
+            stats.append(None)
+            continue
+
+        def stat_body(carry, start, _l=l):
+            s1, s2 = carry
+            a = _apply_layers(edges_at(start), layers, stats, _l + 1, eps,
+                              final_relu_only=True)
+            a = jnp.where(chunk_valid(start), a, 0.0)
+            return (s1 + jnp.sum(a, axis=(0, 1, 2)),
+                    s2 + jnp.sum(a * a, axis=(0, 1, 2))), None
+
+        width = layers[l][0].shape[1]
+        (s1, s2), _ = jax.lax.scan(
+            jax.checkpoint(stat_body),
+            (jnp.zeros(width, jnp.float32), jnp.zeros(width, jnp.float32)),
+            starts)
+        mean = s1 / count
+        # E[a^2] - E[a]^2, clamped like flax BatchNorm's biased estimator
+        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        stats.append((mean, var))
+
+    def out_body(_, start):
+        h = _apply_layers(edges_at(start), layers, stats, L, eps)
+        if aggr == 'max':
+            return None, jnp.max(h, axis=2)
+        if aggr == 'mean':
+            return None, jnp.mean(h, axis=2)
+        return None, jnp.sum(h, axis=2)
+
+    _, outs = jax.lax.scan(jax.checkpoint(out_body), None, starts)
+    out = jnp.moveaxis(outs, 0, 1).reshape(B, N + pad, -1)[:, :N]
+    return out, stats

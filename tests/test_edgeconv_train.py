@@ -1,0 +1,91 @@
+"""Chunked rematerialized EdgeConv training path (ops/edgeconv_train) vs the
+reference-semantics unfused path: outputs, BatchNorm running-stat updates,
+and GRADIENTS (params and inputs) must match — the chunking is a memory
+optimization, not a semantics change."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from garment_pattern_estimation_tpu.models.blocks import EdgeConv
+
+B, N, C = 3, 40, 6
+
+
+@pytest.fixture()
+def x(rng):
+    return jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+
+def _conv(chunked, chunk=None):
+    return EdgeConv([16, 12], k=4, use_pallas=False,
+                    train_chunked=chunked, train_chunk_size=chunk)
+
+
+def _run(conv, variables, x):
+    return conv.apply(variables, x, train=True, mutable=['batch_stats'])
+
+
+def test_forward_and_stats_match_unfused(x):
+    conv_ref = _conv(False)
+    variables = conv_ref.init(jax.random.PRNGKey(0), x, train=True)
+
+    out_ref, mut_ref = _run(conv_ref, variables, x)
+    out_chk, mut_chk = _run(_conv(True, chunk=16), variables, x)
+
+    np.testing.assert_allclose(np.asarray(out_chk), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    ref_stats = jax.tree_util.tree_leaves(mut_ref['batch_stats'])
+    chk_stats = jax.tree_util.tree_leaves(mut_chk['batch_stats'])
+    for a, b in zip(chk_stats, ref_stats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_uneven_chunking_matches(x):
+    """N=40 with chunk=16 -> padded final chunk: padded rows must not leak
+    into statistics or outputs."""
+    conv_ref = _conv(False)
+    variables = conv_ref.init(jax.random.PRNGKey(1), x, train=True)
+    out_ref, mut_ref = _run(conv_ref, variables, x)
+    out_chk, mut_chk = _run(_conv(True, chunk=16), variables, x)
+    np.testing.assert_allclose(np.asarray(out_chk), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mut_chk['batch_stats']['MLP_0']['BatchNorm_1']['var']),
+        np.asarray(mut_ref['batch_stats']['MLP_0']['BatchNorm_1']['var']),
+        rtol=1e-5)
+
+
+def test_gradients_match_unfused(x):
+    conv_ref = _conv(False)
+    variables = conv_ref.init(jax.random.PRNGKey(2), x, train=True)
+    params = variables['params']
+    stats = variables['batch_stats']
+
+    def loss(conv, p, pts):
+        out, _ = conv.apply({'params': p, 'batch_stats': stats}, pts,
+                            train=True, mutable=['batch_stats'])
+        return jnp.sum(out ** 2) / out.size
+
+    g_ref_p, g_ref_x = jax.grad(
+        lambda p, pts: loss(conv_ref, p, pts), argnums=(0, 1))(params, x)
+    g_chk_p, g_chk_x = jax.grad(
+        lambda p, pts: loss(_conv(True, chunk=16), p, pts),
+        argnums=(0, 1))(params, x)
+
+    for a, b in zip(jax.tree_util.tree_leaves(g_chk_p),
+                    jax.tree_util.tree_leaves(g_ref_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_chk_x), np.asarray(g_ref_x),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_auto_policy_picks_chunked_only_when_big():
+    small = EdgeConv([8], k=3, use_pallas=False)
+    # auto threshold: 128 MB of gathered edges — tiny input stays unfused
+    assert (B * N * 3 * 2 * C * 4) < EdgeConv._CHUNK_TRAIN_BYTES
+    big_edges = 128 * 10000 * 5 * 2 * 150 * 4
+    assert big_edges > EdgeConv._CHUNK_TRAIN_BYTES

@@ -129,3 +129,29 @@ def test_parity_check_two_stage_and_expected(parity_env, tmp_path, monkeypatch):
     rows = parity_check._compare_rows(ours, expected, list(expected),
                                       'published')
     assert any(delta > 0.01 for _, _, _, delta in rows)
+
+
+def test_parity_check_torch_train_cross_check(parity_env, tmp_path, monkeypatch):
+    """--torch_train_cross_check: BOTH stacks train (no checkpoint needed);
+    the report carries both trained columns and the first-step losses —
+    computed from identical init/batches — must agree tightly."""
+    root, data, shape_yaml, _, _, _ = parity_env
+    monkeypatch.chdir(tmp_path)
+    from garment_pattern_estimation_tpu.cli import parity_check
+
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--torch_train_cross_check', '--train_epochs', '3',
+        '--tolerance', '0.5',   # 3 tiny epochs are nowhere near converged:
+                                # this test checks the machinery; the 1% run
+                                # is the published docs/ParityResults table
+        '--output', str(tmp_path / 'train_ab.json')])
+    assert rc == 0
+    report = json.loads((tmp_path / 'train_ab.json').read_text())
+    assert 'panel_shape_l2' in report['trained_shape_metrics']
+    assert 'panel_shape_l2' in report['torch_trained_metrics']
+    first = report['train_loss_first_step']
+    assert abs(first['torch'] - first['ours']) <= 1e-3 * abs(first['torch'])
+    comps = [c for c in report['comparisons']
+             if c['metric'].startswith('torch_trained:')]
+    assert comps and all(c['pass'] for c in comps)
