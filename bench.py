@@ -59,6 +59,14 @@ def measure_inference(batch, num_points, warmup=1, iters=5):
 
 
 def measure_train_step(batch=30, num_points=2000, steps=20):
+    """Published training recipe step time — and, at (128, 10000), the
+    stress-config TRAINING step: the chunked rematerialized EdgeConv path
+    (ops/edgeconv_train, auto-enabled past 128 MB of gathered edges) keeps
+    the backward pass inside HBM where the unfused gather would OOM."""
+    return _measure_train_step(batch, num_points, steps)
+
+
+def _measure_train_step(batch, num_points, steps):
     """Published training recipe step time: att model at full scale, composed
     loss with quality metrics (configs/att.yaml), Adam, donated buffers.
     Steps are dispatched back-to-back (async) and synced once at the end —
@@ -294,6 +302,11 @@ def main():
         extras['mesh_to_pred_64x2000_ms'] = round(measure_mesh_to_prediction(), 2)
     except Exception as e:  # noqa: BLE001
         print(f'bench::warning::mesh-to-pred bench failed ({e})', file=sys.stderr)
+    try:
+        extras['stress_train_step_128x10k_ms'] = round(
+            measure_train_step(batch=128, num_points=10000, steps=2), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::stress train bench failed ({e})', file=sys.stderr)
     try:
         baseline = torch_cpu_baseline()
         extras['torch_reference_cpu_clouds_per_sec'] = round(baseline, 3)

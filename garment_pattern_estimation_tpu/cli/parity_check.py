@@ -191,8 +191,15 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
 
     print(f'parity_check::training the torch reference recipe '
           f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
+
+    def progress(step, loss):
+        if step % 60 == 0:
+            print(f'parity_check::torch step {step}/{total_steps} '
+                  f'loss={loss:.5f}', flush=True)
+
     torch_hist = train_reference_torch(replica, epoch_batches, schedule,
-                                       pad_vector, loop_weight=loop_w)
+                                       pad_vector, loop_weight=loop_w,
+                                       on_step=progress)
 
     print('parity_check::training this framework on the same batches')
     tx = optax.adam(schedule)

@@ -18,14 +18,15 @@ class PanelClasses:
 
     def __init__(self, classes_file):
         self.filename = str(classes_file)
-        with open(classes_file, 'r') as f:
-            self.classes = json.load(f, object_pairs_hook=OrderedDict)
+        with open(classes_file, 'r') as stream:
+            self.classes = json.load(stream, object_pairs_hook=OrderedDict)
 
-        self.names = list(self.classes.keys())
-        self.panel_to_idx = {}
-        for idx, class_name in enumerate(self.classes):
-            for panel in self.classes[class_name]:
-                self.panel_to_idx[tuple(panel)] = idx
+        self.names = list(self.classes)
+        # flat lookup: (template, panel) -> class id, file order = index
+        self.panel_to_idx = {
+            tuple(member): class_id
+            for class_id, members in enumerate(self.classes.values())
+            for member in members}
 
     def __len__(self):
         return len(self.classes)
@@ -40,11 +41,10 @@ class PanelClasses:
     def map(self, template_name, panel_list):
         """Map panel names (for one template) to class ids; 'stitch' labels
         map to -1 with a warning (reference: panel_classes.py:819-830)."""
-        out_list = np.empty(len(panel_list))
-        for idx, panel in enumerate(panel_list):
+        def one(panel):
             if panel == 'stitch':
-                out_list[idx] = -1
                 print(f'{self.__class__.__name__}::Warning::Mapping stitch label')
-            else:
-                out_list[idx] = self.panel_to_idx[(template_name, panel)]
-        return out_list
+                return -1
+            return self.panel_to_idx[(template_name, panel)]
+
+        return np.array([one(panel) for panel in panel_list], dtype=float)

@@ -56,22 +56,22 @@ class NNSewingPattern(PatternSpec):
         with `None` to `pad_to_len` (reference: pattern_converter.py:575-611).
         """
         if self.panel_classifier is None or self.template_name is None:
-            order = super().panel_order(force_update=force_update)
+            slots = super().panel_order(force_update=force_update)
         else:
-            order = [None] * len(self.panel_classifier)
-            for panel_name in self.pattern['panels']:
-                class_idx = self.panel_classifier.class_idx(self.template_name, panel_name)
-                order[class_idx] = panel_name
+            slots = [None] * len(self.panel_classifier)
+            for name in self.pattern['panels']:
+                slots[self.panel_classifier.class_idx(
+                    self.template_name, name)] = name
 
         if pad_to_len is not None:
-            if pad_to_len < len(order):
+            if pad_to_len < len(slots):
                 raise ValueError(
                     f'{self.__class__.__name__}::{self.name}::Error::requested max num of panels '
-                    f'{pad_to_len} is smaller than evaluated number of panels {len(order)}')
-            order = order + [None] * (pad_to_len - len(order))
+                    f'{pad_to_len} is smaller than evaluated number of panels {len(slots)}')
+            slots = slots + [None] * (pad_to_len - len(slots))
 
-        self.pattern['panel_order'] = order
-        return order
+        self.pattern['panel_order'] = slots
+        return slots
 
     # ------------------- pattern -> tensors -------------------
     def pattern_as_tensors(self, pad_panels_to_len=None, pad_panels_num=None, pad_stitches_num=None,
@@ -81,52 +81,49 @@ class NNSewingPattern(PatternSpec):
         Returns (outlines, num_edges_per_panel, num_panels[, rotations,
         translations][, stitches, num_stitches][, stitch_tags]).
         """
-        panel_order = self.panel_order(pad_to_len=pad_panels_num)
-        panel_lens = [
-            len(self.pattern['panels'][name]['edges']) if name is not None else 0
-            for name in panel_order
-        ]
-        max_len = pad_panels_to_len if pad_panels_to_len is not None else max(panel_lens)
+        slots = self.panel_order(pad_to_len=pad_panels_num)
+        edge_counts = np.array([
+            0 if name is None else len(self.pattern['panels'][name]['edges'])
+            for name in slots])
+        row_len = pad_panels_to_len if pad_panels_to_len is not None \
+            else int(edge_counts.max())
 
-        panel_seqs, panel_translations, panel_rotations = [], [], []
-        for panel_name in panel_order:
-            if panel_name is not None:
-                edges, rot, transl = self.panel_as_numeric(panel_name, pad_to_len=max_len)
-            else:
-                edges, rot, transl = self._empty_panel(max_len)
-            panel_seqs.append(edges)
-            panel_rotations.append(rot)
-            panel_translations.append(transl)
+        encoded = [self.panel_as_numeric(name, pad_to_len=row_len)
+                   if name is not None else self._empty_panel(row_len)
+                   for name in slots]
+        outlines, quats, transls = (np.stack(part) for part in zip(*encoded))
 
-        stitches_list = self.pattern['stitches']
-        stitches_num = len(stitches_list) if pad_stitches_num is None else pad_stitches_num
-        if stitches_num < len(stitches_list):
+        stitch_specs = self.pattern['stitches']
+        capacity = len(stitch_specs) if pad_stitches_num is None else pad_stitches_num
+        if capacity < len(stitch_specs):
             raise ValueError(
-                f'{self.__class__.__name__}::Error::requested number of stitches {stitches_num} '
-                f'is less than the number of stitches {len(stitches_list)} in pattern {self.name}')
+                f'{self.__class__.__name__}::Error::requested number of stitches {capacity} '
+                f'is less than the number of stitches {len(stitch_specs)} in pattern {self.name}')
 
-        # zero-padded so the array can be used directly for indexing (callers
+        # flat pattern-level edge id per stitch side: slot * row_len + edge.
+        # Zero-padded so the array can be used directly for indexing (callers
         # must mask the padded tail themselves)
-        stitches_indices = np.zeros((2, stitches_num), dtype=np.int64)
+        stitch_ids = np.zeros((2, capacity), dtype=np.int64)
+        slot_of = {name: s for s, name in enumerate(slots) if name is not None}
+        sides = np.array([[slot_of[side['panel']], side['edge']]
+                          for stitch in stitch_specs for side in stitch],
+                         dtype=np.int64).reshape(-1, 2, 2)  # (S, side, [slot, edge])
+        if len(sides):
+            stitch_ids[:, :len(sides)] = \
+                (sides[..., 0] * row_len + sides[..., 1]).T
         if with_stitch_tags:
-            stitch_tags = self.stitches_as_tags()
-            tags_per_edge = np.zeros((len(panel_seqs), max_len, 3))
-        for idx, stitch in enumerate(stitches_list):
-            for id_side, side in enumerate(stitch):
-                panel_id = panel_order.index(side['panel'])
-                edge_id = side['edge']
-                stitches_indices[id_side][idx] = panel_id * max_len + edge_id
-                if with_stitch_tags:
-                    tags_per_edge[panel_id][edge_id] = stitch_tags[idx]
+            tags_per_edge = np.zeros((len(slots), row_len, 3))
+            if len(sides):
+                tags = self.stitches_as_tags()
+                flat_sides = sides.reshape(-1, 2)
+                tags_per_edge[flat_sides[:, 0], flat_sides[:, 1]] = \
+                    np.repeat(tags, 2, axis=0)
 
-        result = [np.stack(panel_seqs), np.array(panel_lens)]
-        result.append(len(self.pattern['panels']))
+        result = [outlines, edge_counts, len(self.pattern['panels'])]
         if with_placement:
-            result.append(np.stack(panel_rotations))
-            result.append(np.stack(panel_translations))
+            result += [quats, transls]
         if with_stitches:
-            result.append(stitches_indices)
-            result.append(len(stitches_list))
+            result += [stitch_ids, len(stitch_specs)]
         if with_stitch_tags:
             result.append(tags_per_edge)
         return tuple(result) if len(result) > 1 else result[0]
@@ -140,20 +137,19 @@ class NNSewingPattern(PatternSpec):
         top-mid bounding-box point (reference: pattern_converter.py:189-226).
         """
         panel = self.pattern['panels'][panel_name]
-        vertices = np.asarray(panel['vertices'], dtype=float)
-        edge_sequence = [self._edge_as_vector(vertices, edge) for edge in panel['edges']]
+        corners = np.asarray(panel['vertices'], dtype=float)
+        rows = np.stack([self._edge_as_vector(corners, edge)
+                         for edge in panel['edges']])
 
         if pad_to_len is not None:
-            if len(edge_sequence) > pad_to_len:
+            if len(rows) > pad_to_len:
                 raise ValueError(
                     f'{self.__class__.__name__}::{self.name}::panel {panel_name} cannot fit into '
-                    f'requested length: {len(edge_sequence)} edges to fit into {pad_to_len}')
-            pad = np.zeros_like(edge_sequence[0])
-            edge_sequence.extend([pad] * (pad_to_len - len(edge_sequence)))
+                    f'requested length: {len(rows)} edges to fit into {pad_to_len}')
+            rows = np.pad(rows, ((0, pad_to_len - len(rows)), (0, 0)))
 
-        translation, _ = self._panel_universal_transtation(panel_name)
-        rotation = rot_tools.euler_xyz_to_quat(panel['rotation'])
-        return np.stack(edge_sequence, axis=0), rotation, translation
+        top_mid_point, _ = self._panel_universal_transtation(panel_name)
+        return rows, rot_tools.euler_xyz_to_quat(panel['rotation']), top_mid_point
 
     @staticmethod
     def _empty_panel(max_edge_num):
@@ -178,52 +174,49 @@ class NNSewingPattern(PatternSpec):
             units_in_meter=100,  # cm
         )
 
+        n_slots = len(pattern_representation)
         self.pattern['panels'] = {}
-        in_panel_order = []
-        new_panel_ids = [None] * len(pattern_representation)
-        for idx in range(len(pattern_representation)):
-            if self.panel_classifier is None:
-                panel_name = 'panel_' + str(idx)
-            else:
-                panel_name = self.panel_classifier.class_name(idx)
+        kept_names = []
+        name_of_slot = [None] * n_slots  # slot -> surviving panel name
+        for slot in range(n_slots):
+            name = f'panel_{slot}' if self.panel_classifier is None \
+                else self.panel_classifier.class_name(slot)
             try:
                 self.panel_from_numeric(
-                    panel_name, pattern_representation[idx],
-                    rotation=panel_rotations[idx] if panel_rotations is not None else None,
-                    translation=panel_translations[idx] if panel_translations is not None else None,
+                    name, pattern_representation[slot],
+                    rotation=None if panel_rotations is None else panel_rotations[slot],
+                    translation=None if panel_translations is None
+                    else panel_translations[slot],
                     padded=padded)
-                in_panel_order.append(panel_name)
-                new_panel_ids[idx] = len(in_panel_order) - 1
             except EmptyPanelError:
-                pass  # empty slot in a padded pattern — move on
+                continue  # empty slot in a padded pattern — move on
+            kept_names.append(name)
+            name_of_slot[slot] = name
 
-        self.pattern['panel_order'] = in_panel_order
+        self.pattern['panel_order'] = kept_names
 
         self.pattern['stitches'] = []
-        if stitches is not None and len(stitches) > 0:
-            if not padded:
-                raise NotImplementedError(
-                    f'{self.__class__.__name__}::recovering stitches for unpadded pattern is not supported')
-            stitches = np.asarray(stitches)
-            edges_per_panel = pattern_representation.shape[1]
-            for stitch_id in range(stitches.shape[1]):
-                if stitches[0][stitch_id] == 0 and stitches[1][stitch_id] == 0:
-                    continue  # padding
-                stitch_object = []
-                for side_id in range(stitches.shape[0]):
-                    pattern_edge_id = int(stitches[side_id][stitch_id])
-                    in_panel_id = pattern_edge_id // edges_per_panel
-                    if in_panel_id > (len(pattern_representation) - 1) or new_panel_ids[in_panel_id] is None:
-                        raise InvalidPatternDefError(
-                            self.name, f'stitch {stitch_id} refers to non-existing panel {in_panel_id}')
-                    stitch_object.append({
-                        'panel': in_panel_order[new_panel_ids[in_panel_id]],
-                        'edge': int(pattern_edge_id % edges_per_panel),
-                    })
-                self.pattern['stitches'].append(stitch_object)
-        else:
+        if stitches is None or len(stitches) == 0:
             print(f'{self.__class__.__name__}::Warning::{self.name}::panels updated but new stitches '
                   'info was not provided. Stitches are removed.')
+            return
+        if not padded:
+            raise NotImplementedError(
+                f'{self.__class__.__name__}::recovering stitches for unpadded pattern is not supported')
+
+        row_len = pattern_representation.shape[1]
+        for s, (a, b) in enumerate(np.asarray(stitches).T):
+            if a == 0 and b == 0:
+                continue  # padding
+            entry = []
+            for flat_id in (int(a), int(b)):
+                slot = flat_id // row_len
+                if slot >= n_slots or name_of_slot[slot] is None:
+                    raise InvalidPatternDefError(
+                        self.name, f'stitch {s} refers to non-existing panel {slot}')
+                entry.append({'panel': name_of_slot[slot],
+                              'edge': int(flat_id % row_len)})
+            self.pattern['stitches'].append(entry)
 
     def panel_from_numeric(self, panel_name, edge_sequence, rotation=None, translation=None, padded=False):
         """Rebuild one panel from its (possibly padded) edge sequence.
@@ -232,39 +225,34 @@ class NNSewingPattern(PatternSpec):
         final vertex lands within 3 cm per coordinate, otherwise an extra
         vertex is created (reference: pattern_converter.py:228-288).
         """
-        edge_sequence = np.asarray(edge_sequence, dtype=float)
+        steps = np.asarray(edge_sequence, dtype=float)
         if padded:
-            selection = ~np.all(np.isclose(edge_sequence, 0, atol=1.5), axis=1)
-            edge_sequence = edge_sequence[selection]
-            if len(edge_sequence) < 3:
+            steps = steps[~np.all(np.isclose(steps, 0, atol=1.5), axis=1)]
+            if len(steps) < 3:
                 raise EmptyPanelError(
                     f'{self.__class__.__name__}::EmptyPanelError::supplied <{panel_name}> is empty')
 
-        if panel_name not in self.pattern['panels']:
-            self.pattern['panels'][panel_name] = copy.deepcopy(panel_spec_template)
+        self.pattern['panels'].setdefault(
+            panel_name, copy.deepcopy(panel_spec_template))
 
-        vertices = np.array([[0.0, 0.0]])
-        edges = []
-        for idx in range(len(edge_sequence) - 1):
-            edge_info = edge_sequence[idx]
-            vertices = np.vstack([vertices, vertices[idx] + edge_info[:2]])
-            edges.append(self._edge_dict(idx, idx + 1, edge_info[2:4]))
+        # walk the additive edge vectors from the origin; the running sums
+        # ARE the vertex positions (vertex i+1 = vertex i + step i)
+        corners = np.vstack([np.zeros((1, 2)), np.cumsum(steps[:, :2], axis=0)])
+        n = len(steps)
+        loop = [self._edge_dict(i, i + 1, steps[i, 2:4]) for i in range(n - 1)]
 
-        # closing edge: snap to origin when close enough
-        idx = len(vertices) - 1
-        edge_info = edge_sequence[-1]
-        fin_vert = vertices[-1] + edge_info[:2]
-        if np.all(np.isclose(fin_vert, 0, atol=3)):  # 3 cm per coordinate tolerance
-            edges.append(self._edge_dict(idx, 0, edge_info[2:4]))
+        # closing edge: snap onto the origin when within 3 cm per coordinate
+        if np.all(np.isclose(corners[-1], 0, atol=3)):
+            corners = corners[:-1]
+            loop.append(self._edge_dict(n - 1, 0, steps[-1, 2:4]))
         else:
             print(f'{self.__class__.__name__}::Warning::{self.name} panel {panel_name}::edge sequence '
                   'does not return to origin. Creating extra vertex')
-            vertices = np.vstack([vertices, fin_vert])
-            edges.append(self._edge_dict(idx, idx + 1, edge_info[2:4]))
+            loop.append(self._edge_dict(n - 1, n, steps[-1, 2:4]))
 
         panel = self.pattern['panels'][panel_name]
-        panel['vertices'] = vertices.tolist()
-        panel['edges'] = edges
+        panel['vertices'] = corners.tolist()
+        panel['edges'] = loop
 
         if rotation is not None:
             panel['rotation'] = rot_tools.quat_to_euler_xyz(rotation).tolist()
@@ -272,10 +260,11 @@ class NNSewingPattern(PatternSpec):
         if translation is not None:
             # incoming translation is of the 3D top-mid point ('universal');
             # convert back to the panel-origin translation
-            _, transl_origin = self._panel_universal_transtation(panel_name)
-            shift = np.append(transl_origin, 0)
-            rot_matrix = rot_tools.euler_xyz_to_matrix(panel['rotation'])
-            panel['translation'] = (np.asarray(translation, dtype=float) - rot_matrix @ shift).tolist()
+            _, origin_2d = self._panel_universal_transtation(panel_name)
+            offset = rot_tools.euler_xyz_to_matrix(panel['rotation']) \
+                @ np.append(origin_2d, 0)
+            panel['translation'] = (
+                np.asarray(translation, dtype=float) - offset).tolist()
 
     @staticmethod
     def _edge_dict(vstart, vend, curvature):
@@ -291,18 +280,16 @@ class NNSewingPattern(PatternSpec):
         """Per-stitch 3D tag: the mean of the two participating edges' 3D
         midpoints — an approximate world location of the stitch
         (reference: pattern_converter.py:290-319)."""
-        stitch_tags = []
-        for stitch in self.pattern['stitches']:
-            edge_tags = np.empty((2, 3))
-            for side_idx, side in enumerate(stitch):
-                panel = self.pattern['panels'][side['panel']]
-                endpoint_ids = panel['edges'][side['edge']]['endpoints']
-                endpoints = np.array([panel['vertices'][endpoint_ids[i]] for i in (0, 1)])
-                edge_mid_2d = endpoints.mean(axis=0)
-                edge_tags[side_idx] = self._point_in_3D(
-                    edge_mid_2d, panel['rotation'], panel['translation'])
-            stitch_tags.append(edge_tags.mean(axis=0))
-        return np.array(stitch_tags)
+        def side_midpoint_3d(side):
+            panel = self.pattern['panels'][side['panel']]
+            a, b = panel['edges'][side['edge']]['endpoints']
+            mid = (np.asarray(panel['vertices'][a], dtype=float)
+                   + np.asarray(panel['vertices'][b], dtype=float)) / 2
+            return self._point_in_3D(mid, panel['rotation'], panel['translation'])
+
+        return np.array([
+            (side_midpoint_3d(stitch[0]) + side_midpoint_3d(stitch[1])) / 2
+            for stitch in self.pattern['stitches']])
 
     # ------------------- 3D edge pairs (stitch model IO) -------------------
     def _3D_edges_per_panel(self, randomize_direction=False, rng=None):
@@ -312,23 +299,25 @@ class NNSewingPattern(PatternSpec):
         if randomize_direction and rng is None:
             rng = np.random.default_rng()
 
-        edges_3d = {}
-        for panel_name in self.panel_order():
-            if panel_name is None:
+        def featurize(ends_3d, spec):
+            curve = np.array(spec['curvature'], dtype=float) \
+                if 'curvature' in spec else np.zeros(2)
+            if randomize_direction and rng.integers(2):
+                ends_3d = ends_3d[::-1]
+                # flipping an edge mirrors its control point: cx -> 1-cx
+                # (unless zero), cy -> -cy
+                curve = np.array([1 - curve[0] if curve[0] else 0, -curve[1]])
+            return np.concatenate([np.ravel(ends_3d), curve])
+
+        features = {}
+        for name in self.panel_order():
+            if name is None:
                 continue
-            edges_3d[panel_name] = []
-            panel = self.pattern['panels'][panel_name]
-            vertices_3d = self.panel_vertices_3d(panel_name)
-            for edge_dict in panel['edges']:
-                edge_verts = vertices_3d[edge_dict['endpoints']].copy()
-                curvature = np.array(edge_dict['curvature'], dtype=float) \
-                    if 'curvature' in edge_dict else np.zeros(2)
-                if randomize_direction and rng.integers(2):
-                    edge_verts = edge_verts[::-1].copy()
-                    curvature[0] = 1 - curvature[0] if curvature[0] else 0
-                    curvature[1] = -curvature[1]
-                edges_3d[panel_name].append(np.concatenate([edge_verts.ravel(), curvature]))
-        return edges_3d
+            placed = self.panel_vertices_3d(name)
+            features[name] = [
+                featurize(placed[spec['endpoints']], spec)
+                for spec in self.pattern['panels'][name]['edges']]
+        return features
 
     def stitches_as_3D_pairs(self, stitch_pairs_num=None, non_stitch_pairs_num=None,
                              randomize_edges=False, randomize_list_order=False, rng=None):
@@ -342,91 +331,87 @@ class NNSewingPattern(PatternSpec):
         if rng is None:
             rng = np.random.default_rng()
 
-        edges_3d = self._3D_edges_per_panel(randomize_edges, rng=rng)
+        features = self._3D_edges_per_panel(randomize_edges, rng=rng)
 
-        pairs, mask = [], []
-        stitched_pairs_ids = set()
+        rows, labels = [], []
+        known_stitched = set()
         for stitch in self.pattern['stitches']:
+            key = tuple((side['panel'], side['edge']) for side in stitch)
             try:
-                pair = [edges_3d[stitch[side]['panel']][stitch[side]['edge']] for side in (0, 1)]
+                halves = [features[p][e] for p, e in key]
             except IndexError:
                 # can happen on (incorrectly) predicted panels
                 print(f'Warning::{self.name}::missing edge while constructing stitch pairs')
                 continue
             if randomize_edges and rng.integers(2):
-                pair = [pair[1], pair[0]]
-            pairs.append(np.concatenate(pair))
-            mask.append(True)
-            stitched_pairs_ids.add((
-                (stitch[0]['panel'], stitch[0]['edge']),
-                (stitch[1]['panel'], stitch[1]['edge']),
-            ))
+                halves.reverse()
+            rows.append(np.concatenate(halves))
+            labels.append(True)
+            known_stitched.add(key)
 
         # duplication needs at least one constructed pair: if every stitch hit
         # the missing-edge path above (badly predicted panels), fall through —
         # the non-stitched top-up below compensates for the shortfall
-        if stitch_pairs_num is not None and len(stitched_pairs_ids) and \
-                stitch_pairs_num > len(stitched_pairs_ids):
-            for _ in range(len(stitched_pairs_ids), stitch_pairs_num):
-                pairs.append(pairs[rng.integers(len(stitched_pairs_ids))])
-                mask.append(True)
+        n_real = len(known_stitched)
+        if stitch_pairs_num is not None and 0 < n_real < stitch_pairs_num:
+            rows += [rows[rng.integers(n_real)]
+                     for _ in range(stitch_pairs_num - n_real)]
+            labels += [True] * (stitch_pairs_num - n_real)
 
         if non_stitch_pairs_num is not None:
-            panel_order = [p for p in self.panel_order() if p is not None]
-            if stitch_pairs_num is not None and len(pairs) < stitch_pairs_num:
-                non_stitch_pairs_num += stitch_pairs_num - len(pairs)
+            candidates = [p for p in self.panel_order() if p is not None]
+            if stitch_pairs_num is not None and len(rows) < stitch_pairs_num:
+                non_stitch_pairs_num += stitch_pairs_num - len(rows)
+
+            def draw_side():
+                panel = candidates[rng.integers(len(candidates))]
+                edge = int(rng.integers(
+                    len(self.pattern['panels'][panel]['edges'])))
+                return panel, edge
+
             for _ in range(non_stitch_pairs_num):
-                while True:
-                    pair_names, pair_edges = [], []
-                    for _ in (0, 1):
-                        pair_names.append(panel_order[rng.integers(len(panel_order))])
-                        pair_edges.append(
-                            int(rng.integers(len(self.pattern['panels'][pair_names[-1]]['edges']))))
-                    if pair_names[0] == pair_names[1] and pair_edges[0] == pair_edges[1]:
+                while True:  # rejection-sample a genuinely unstitched pair
+                    key = (draw_side(), draw_side())
+                    if key[0] == key[1] or key in known_stitched \
+                            or key[::-1] in known_stitched:
                         continue
-                    pair_id = ((pair_names[0], pair_edges[0]), (pair_names[1], pair_edges[1]))
-                    if pair_id in stitched_pairs_ids or (pair_id[1], pair_id[0]) in stitched_pairs_ids:
-                        continue
-                    pairs.append(np.concatenate([
-                        edges_3d[pair_names[0]][pair_edges[0]],
-                        edges_3d[pair_names[1]][pair_edges[1]]]))
-                    mask.append(False)
+                    rows.append(np.concatenate(
+                        [features[p][e] for p, e in key]))
+                    labels.append(False)
                     break
 
-        pairs = np.stack(pairs)
-        mask = np.array(mask, dtype=bool)
+        rows = np.stack(rows)
+        labels = np.array(labels, dtype=bool)
         if randomize_list_order:
-            permutation = rng.permutation(len(pairs))
-            return pairs[permutation], mask[permutation]
-        return pairs, mask
+            order = rng.permutation(len(rows))
+            return rows[order], labels[order]
+        return rows, labels
 
     def all_edge_pairs(self):
         """Exhaustive cross-panel edge pairs (upper triangle of the panel
         grid; panels never stitch to themselves). Returns
         (pairs [M, 16], pair id mapping, GT stitched mask)."""
-        edges_3d = self._3D_edges_per_panel()
-        panel_order = [p for p in self.panel_order() if p is not None]
-        stitch_set = self._stitches_as_set()
+        import itertools
 
-        pairs_blocks, pairs_mapping, mask = [], [], []
-        for i in range(len(panel_order)):
-            panel_i = panel_order[i]
-            edges_i = np.array(edges_3d[panel_i])
-            for j in range(i + 1, len(panel_order)):
-                panel_j = panel_order[j]
-                edges_j = np.array(edges_3d[panel_j])
-                rows, cols = np.indices((len(edges_i), len(edges_j)))
-                block = np.concatenate([edges_i[rows], edges_j[cols]], axis=-1)
-                pairs_blocks.append(block.reshape(-1, block.shape[-1]))
-                for row_idx in range(len(edges_i)):
-                    for col_idx in range(len(edges_j)):
-                        pair_id = ((panel_i, row_idx), (panel_j, col_idx))
-                        pairs_mapping.append(pair_id)
-                        mask.append(pair_id in stitch_set or (pair_id[1], pair_id[0]) in stitch_set)
+        features = {name: np.array(rows) for name, rows
+                    in self._3D_edges_per_panel().items()}
+        present = [p for p in self.panel_order() if p is not None]
+        stitched = self._stitches_as_set()
 
-        if not pairs_blocks:
+        blocks, pair_keys = [], []
+        for left, right in itertools.combinations(present, 2):
+            a, b = features[left], features[right]
+            grid_a, grid_b = np.indices((len(a), len(b)))
+            blocks.append(np.concatenate(
+                [a[grid_a], b[grid_b]], axis=-1).reshape(len(a) * len(b), -1))
+            pair_keys += [((left, ia), (right, ib))
+                          for ia in range(len(a)) for ib in range(len(b))]
+
+        if not blocks:
             raise InvalidPatternDefError(self.name, 'No edges to construct')
-        return np.concatenate(pairs_blocks).astype(np.float32), pairs_mapping, mask
+        is_stitched = [key in stitched or key[::-1] in stitched
+                       for key in pair_keys]
+        return np.concatenate(blocks).astype(np.float32), pair_keys, is_stitched
 
     def _stitches_as_set(self):
         return {
@@ -442,40 +427,36 @@ class NNSewingPattern(PatternSpec):
         logits (M,) numpy. Edges participating in multiple predicted stitches
         keep only the highest-scoring one (reference:
         pattern_converter.py:411-456)."""
-        self.pattern['stitches'] = []
-        pairs, pairs_mapping, _ = self.all_edge_pairs()
-        shift = np.asarray(data_stats['f_shift'], dtype=np.float32)
-        scale = np.asarray(data_stats['f_scale'], dtype=np.float32)
-        logits = np.asarray(predict_logits((pairs - shift) / scale)).reshape(-1)
+        self.pattern['stitches'] = []  # cleared even if no pairs exist below
+        pairs, pair_keys, _ = self.all_edge_pairs()
+        standardized = (pairs - np.asarray(data_stats['f_shift'], np.float32)) \
+            / np.asarray(data_stats['f_scale'], np.float32)
+        logits = np.asarray(predict_logits(standardized)).reshape(-1)
 
-        probability = 1.0 / (1.0 + np.exp(-logits))
-        stitched_ids = np.flatnonzero(np.round(probability) > 0)
-
-        for pair_idx in stitched_ids:
-            edge_pair = pairs_mapping[pair_idx]
-            self.pattern['stitches'].append(self._stitch_entry(
-                edge_pair[0][0], edge_pair[0][1],
-                edge_pair[1][0], edge_pair[1][1],
-                score=float(logits[pair_idx])))
+        positives = np.flatnonzero(
+            np.round(1.0 / (1.0 + np.exp(-logits))) > 0)
+        accepted = [
+            self._stitch_entry(*pair_keys[i][0], *pair_keys[i][1],
+                               score=float(logits[i]))
+            for i in positives]
 
         # deduplicate: an edge may participate in at most one stitch.
         # NOTE: already-marked stitches keep participating in later
         # comparisons (a removed stitch can still knock out its weaker
         # conflicts) — this mirrors the reference's loop exactly
         # (pattern_converter.py:440-456), quirk included, for parity
-        to_remove = set()
-        stitches = self.pattern['stitches']
-        for base_id in range(len(stitches)):
-            base_stitch = stitches[base_id]
-            for side in (0, 1):
-                base_edge = base_stitch[side]
-                for other_id in range(base_id + 1, len(stitches)):
-                    curr = stitches[other_id]
-                    if ((base_edge['panel'] == curr[0]['panel'] and base_edge['edge'] == curr[0]['edge'])
-                            or (base_edge['panel'] == curr[1]['panel'] and base_edge['edge'] == curr[1]['edge'])):
-                        to_remove.add(base_id if base_stitch[0]['score'] < curr[0]['score'] else other_id)
-        if to_remove:
-            self.pattern['stitches'] = [s for i, s in enumerate(stitches) if i not in to_remove]
+        losers = set()
+        for i, candidate in enumerate(accepted):
+            for mine in candidate:
+                for j in range(i + 1, len(accepted)):
+                    other = accepted[j]
+                    if any(mine['panel'] == o['panel']
+                           and mine['edge'] == o['edge'] for o in other):
+                        losers.add(
+                            i if candidate[0]['score'] < other[0]['score']
+                            else j)
+        self.pattern['stitches'] = [
+            s for i, s in enumerate(accepted) if i not in losers]
 
     @staticmethod
     def _stitch_entry(panel_1, edge_1, panel_2, edge_2, score=None):

@@ -35,31 +35,15 @@ class BaseDataset:
 
     def __init__(self, root_dir, start_config=None, gt_caching=False,
                  feature_caching=False, in_transforms=None):
-        start_config = dict(start_config or {'data_folders': []})
         self.root_path = Path(root_dir)
         self.config = {}
-        self.update_config(start_config)
+        self.update_config(dict(start_config or {'data_folders': []}))
         self.config['class'] = self.__class__.__name__
 
         self.data_folders = self.config['data_folders']
-        self.data_folders_nicknames = dict(zip(self.data_folders, self.data_folders))
+        self.data_folders_nicknames = {f: f for f in self.data_folders}
 
-        self.datapoints_names = []
-        self.dataset_start_ids = []
-        for data_folder in self.data_folders:
-            if not (self.root_path / data_folder).is_dir():
-                raise FileNotFoundError(
-                    f'{self.__class__.__name__}::Error::data folder '
-                    f'<{self.root_path / data_folder}> does not exist')
-            _, dirs, _ = next(os.walk(self.root_path / data_folder))
-            names = [data_folder + '/' + name for name in sorted(dirs)]
-            self.dataset_start_ids.append((data_folder, len(self.datapoints_names)))
-            clean_list = self._clean_datapoint_list(names, data_folder)
-            max_per_type = self.config.get('max_datapoints_per_type')
-            if max_per_type is not None and len(clean_list) > max_per_type:
-                clean_list = clean_list[:max_per_type]
-            self.datapoints_names += clean_list
-        self.dataset_start_ids.append((None, len(self.datapoints_names)))
+        self.datapoints_names, self.dataset_start_ids = self._scan_folders()
         self.config['size'] = len(self)
 
         self.gt_cached, self.gt_caching = {}, gt_caching
@@ -71,6 +55,26 @@ class BaseDataset:
             self.standardize()
 
         self._estimate_data_shape()
+
+    def _scan_folders(self):
+        """Enumerate datapoint dirs per folder (sorted), run the subclass
+        cleaning hook, apply the per-type cap. Returns (names,
+        [(folder, first global id)] + (None, total) sentinel)."""
+        names, first_ids = [], []
+        cap = self.config.get('max_datapoints_per_type')
+        for folder in self.data_folders:
+            folder_path = self.root_path / folder
+            if not folder_path.is_dir():
+                raise FileNotFoundError(
+                    f'{self.__class__.__name__}::Error::data folder '
+                    f'<{folder_path}> does not exist')
+            found = [f'{folder}/{d.name}' for d in sorted(folder_path.iterdir())
+                     if d.is_dir()]
+            first_ids.append((folder, len(names)))
+            kept = self._clean_datapoint_list(found, folder)
+            names += kept if cap is None else kept[:cap]
+        first_ids.append((None, len(names)))
+        return names, first_ids
 
     # ---- experiment hook ----
     def save_to_wandb(self, experiment):
@@ -138,60 +142,57 @@ class BaseDataset:
                 f'{self.__class__.__name__}::Error::unsupported split type {split_type}')
         rng = rng or np.random.default_rng()
 
-        train_ids, valid_ids, test_ids = [], [], []
-        train_bd, valid_bd, test_bd = {}, {}, {}
-        for dataset_id in range(len(self.data_folders)):
-            nickname = self.data_folders_nicknames[self.data_folders[dataset_id]]
-            start_id = self.dataset_start_ids[dataset_id][1]
-            end_id = self.dataset_start_ids[dataset_id + 1][1]
-            data_len = end_id - start_id
-            permute = (rng.permutation(data_len) + start_id).tolist()
+        picked = {'train': [], 'valid': [], 'test': []}
+        folder_subsets = {'train': {}, 'valid': {}, 'test': {}}
+        for folder_i, folder in enumerate(self.data_folders):
+            begin = self.dataset_start_ids[folder_i][1]
+            size = self.dataset_start_ids[folder_i + 1][1] - begin
+            shuffled = rng.permutation(size) + begin     # one draw per folder:
+                                                         # seeded splits stay stable
+            if split_type == 'percent':
+                n_valid = int(size * valid_per_type / 100)
+                n_test = int(size * test_per_type / 100)
+            else:
+                n_valid, n_test = valid_per_type, test_per_type or 0
+            n_train = size - n_valid - n_test
+            slices = np.split(shuffled, [n_train, n_train + n_valid,
+                                         n_train + n_valid + n_test])[:3]
 
-            valid_size = int(data_len * valid_per_type / 100) \
-                if split_type == 'percent' else valid_per_type
-            test_size = int(data_len * test_per_type / 100) \
-                if split_type == 'percent' else (test_per_type or 0)
-            train_size = data_len - valid_size - test_size
+            nickname = self.data_folders_nicknames[folder]
+            for section, ids in zip(('train', 'valid', 'test'), slices):
+                ids = ids.tolist()
+                picked[section] += ids
+                folder_subsets[section][nickname] = Subset(self, ids) \
+                    if (ids or section != 'test') else None
 
-            train_sub = permute[:train_size]
-            valid_sub = permute[train_size:train_size + valid_size]
-            train_ids += train_sub
-            valid_ids += valid_sub
-            test_sub = []
-            if test_size:
-                test_sub = permute[train_size + valid_size:train_size + valid_size + test_size]
-                test_ids += test_sub
-            if with_breakdown:
-                train_bd[nickname] = Subset(self, train_sub)
-                valid_bd[nickname] = Subset(self, valid_sub)
-                test_bd[nickname] = Subset(self, test_sub) if test_size else None
-
-        result = (Subset(self, train_ids), Subset(self, valid_ids),
-                  Subset(self, test_ids) if test_ids else None)
+        result = (Subset(self, picked['train']), Subset(self, picked['valid']),
+                  Subset(self, picked['test']) if picked['test'] else None)
         if with_breakdown:
-            return result + (train_bd, valid_bd, test_bd)
+            return result + (folder_subsets['train'], folder_subsets['valid'],
+                             folder_subsets['test'])
         return result
 
     def split_from_dict(self, split_dict, with_breakdown=False):
-        """Reproduce a frozen split given name lists
-        (reference: nn/data/datasets.py:246-283)."""
-        train_ids, valid_ids, test_ids = [], [], []
-        training = set(split_dict['training'])
-        validation = set(split_dict['validation'])
-        test = set(split_dict.get('test', []))
-        for idx, name in enumerate(self.datapoints_names):
-            if name in training:
-                train_ids.append(idx)
-            elif name in test:
-                test_ids.append(idx)
-            elif name in validation:
-                valid_ids.append(idx)
-        result = (Subset(self, train_ids), Subset(self, valid_ids),
-                  Subset(self, test_ids) if test_ids else None)
+        """Reproduce a frozen split from its stored name lists
+        (reference: nn/data/datasets.py:246-283). A name claimed by an
+        earlier section never lands in a later one (training > test >
+        validation precedence)."""
+        names = np.asarray(self.datapoints_names, dtype=object)
+        free = np.ones(len(names), dtype=bool)
+        picked = {}
+        for section in ('training', 'test', 'validation'):
+            member = np.isin(names, np.asarray(
+                list(split_dict.get(section, [])), dtype=object)) & free
+            free &= ~member
+            picked[section] = np.flatnonzero(member).tolist()
+
+        result = (Subset(self, picked['training']),
+                  Subset(self, picked['validation']),
+                  Subset(self, picked['test']) if picked['test'] else None)
         if with_breakdown:
-            return result + (self.subsets_per_datafolder(train_ids),
-                             self.subsets_per_datafolder(valid_ids),
-                             self.subsets_per_datafolder(test_ids))
+            return result + tuple(
+                self.subsets_per_datafolder(picked[s])
+                for s in ('training', 'validation', 'test'))
         return result
 
     # ---- hooks for subclasses ----
@@ -329,57 +330,48 @@ class GarmentBaseDataset(BaseDataset):
 
     # ---- cleaning & filtering ----
     def _clean_datapoint_list(self, datapoints_names, dataset_folder):
-        try:
-            datapoints_names.remove(dataset_folder + '/renders')
-        except ValueError:
-            pass
+        found = [n for n in datapoints_names if n != f'{dataset_folder}/renders']
         try:
             props = Properties(self.root_path / dataset_folder / 'dataset_properties.json')
         except FileNotFoundError:
             print(f'{self.__class__.__name__}::Warning::No `dataset_properties.json` '
                   'found. Using all datapoints without filtering.')
             self.data_folders_nicknames[dataset_folder] = dataset_folder
-            return datapoints_names
+            return found
 
         if not props['to_subfolders']:
             raise NotImplementedError('Only working with datasets organized in subfolders')
 
+        # nickname = template file stem ('tee_sleeveless' etc.)
         self.data_folders_nicknames[dataset_folder] = \
             props['templates'].split('/')[-1].split('.')[0]
 
-        fails_dict = props['sim']['stats']['fails']
-        for subsection in fails_dict:
-            for fail in fails_dict[subsection]:
-                try:
-                    datapoints_names.remove(dataset_folder + '/' + fail)
-                except ValueError:
-                    pass
+        failed = {f'{dataset_folder}/{name}'
+                  for names in props['sim']['stats']['fails'].values()
+                  for name in names}
+        found = [n for n in found if n not in failed]
 
         if self.config.get('filter_by_params'):
-            datapoints_names = self.filter_by_params(
-                self.config['filter_by_params'], dataset_folder, datapoints_names)
-        return datapoints_names
+            found = self.filter_by_params(
+                self.config['filter_by_params'], dataset_folder, found)
+        return found
 
     def filter_by_params(self, filter_file, dataset_folder, datapoint_names):
         """Keep only datapoints whose design parameters fall inside the
         allowed ranges (reference: nn/data/datasets.py:474-499)."""
         with open(filter_file, 'r') as f:
-            param_filters = json.load(f)
-        final_list = []
-        for datapoint_name in datapoint_names:
-            pattern = NNSewingPattern(self.root_path / datapoint_name / 'specification.json')
-            template_name = self.template_name(datapoint_name)
-            to_add = True
-            for param, bounds in param_filters.get(template_name, {}).items():
-                value = pattern.parameters[param]['value']
-                if value < bounds[0] or value > bounds[1]:
-                    to_add = False
-                    break
-            if to_add:
-                final_list.append(datapoint_name)
+            allowed_ranges = json.load(f)
+
+        def in_range(name):
+            spec = NNSewingPattern(self.root_path / name / 'specification.json')
+            ranges = allowed_ranges.get(self.template_name(name), {})
+            return all(lo <= spec.parameters[param]['value'] <= hi
+                       for param, (lo, hi) in ranges.items())
+
+        survivors = [n for n in datapoint_names if in_range(n)]
         print(f'{self.__class__.__name__}::Filtering::{dataset_folder}::'
-              f'{len(final_list)} of {len(datapoint_names)}')
-        return final_list
+              f'{len(survivors)} of {len(datapoint_names)}')
+        return survivors
 
     # ---- datapoint utils ----
     def template_name(self, datapoint_name):
@@ -492,9 +484,12 @@ class Garment3DPatternFullDataset(GarmentBaseDataset):
         """Save per-datapoint predicted patterns (json + png + GT copies)
         (reference: nn/data/datasets.py:657-729)."""
         save_to = Path(save_to)
-        prediction_imgs = []
+        rendered = []
         for idx, (name, folder) in enumerate(zip(datanames, data_folders)):
-            prediction = {key: np.asarray(predictions[key][idx]) for key in predictions}
+            prediction = {key: np.asarray(batch[idx])
+                          for key, batch in predictions.items()}
+            cached_gt = self.gt_cached.get(f'{folder}/{name}') \
+                if self.gt_caching else None
 
             # complement the prediction with GT fields when available — but
             # NOT when the model trained with order/origin matching: its
@@ -502,46 +497,43 @@ class Garment3DPatternFullDataset(GarmentBaseDataset):
             # not apply (reference: datasets.py:676-685)
             canonicalized = (self.config.get('order_matching')
                              or self.config.get('origin_matching'))
-            if (not canonicalized and self.gt_caching
-                    and (folder + '/' + name) in self.gt_cached):
-                gt = self.gt_cached[folder + '/' + name]
-                for key in gt:
-                    if key not in prediction:
-                        prediction[key] = np.asarray(gt[key])
+            if not canonicalized and cached_gt is not None:
+                for key, value in cached_gt.items():
+                    prediction.setdefault(key, np.asarray(value))
             elif canonicalized or not self.gt_caching:
                 print(f'{self.__class__.__name__}::Warning::propagating '
                       'information from GT on prediction is not implemented '
                       'in given context')
 
             pattern = self._pred_to_pattern(prediction, name)
+            if cached_gt is not None:
+                pattern.spec['properties']['correct_num_panels'] = \
+                    int(cached_gt['num_panels'])
 
-            if self.gt_caching and (folder + '/' + name) in self.gt_cached:
-                gt = self.gt_cached[folder + '/' + name]
-                pattern.spec['properties']['correct_num_panels'] = int(gt['num_panels'])
-
-            folder_nick = self.data_folders_nicknames[folder] if not orig_folder_names else folder
+            into = folder if orig_folder_names \
+                else self.data_folders_nicknames[folder]
             try:
-                final_dir = pattern.serialize(save_to / folder_nick, to_subfolder=True,
-                                              tag='_predicted_')
+                out_dir = Path(pattern.serialize(
+                    save_to / into, to_subfolder=True, tag='_predicted_'))
             except (RuntimeError, InvalidPatternDefError, TypeError) as e:
                 print(f'{self.__class__.__name__}::Error::{name} serializing skipped: {e}')
                 continue
-            prediction_imgs.append(Path(final_dir) / f'{pattern.name}_predicted__pattern.png')
+            rendered.append(out_dir / f'{pattern.name}_predicted__pattern.png')
 
-            for file in (self.root_path / folder / name).glob('*'):
-                if file.suffix in ('.png', '.json'):
-                    shutil.copy2(str(file), str(final_dir))
+            # GT renders/specs ride along for side-by-side inspection
+            for source in (self.root_path / folder / name).glob('*'):
+                if source.suffix in ('.png', '.json'):
+                    shutil.copy2(str(source), str(out_dir))
 
             if features is not None:
                 stats = self.config['standardize']
-                point_cloud = np.asarray(features[idx]) * np.asarray(stats['f_scale']) \
+                cloud = np.asarray(features[idx]) * np.asarray(stats['f_scale']) \
                     + np.asarray(stats['f_shift'])
-                np.savetxt(save_to / folder_nick / name / (name + '_point_cloud.txt'),
-                           point_cloud)
+                np.savetxt(save_to / into / name / f'{name}_point_cloud.txt', cloud)
             if 'att_weights' in prediction:
-                np.savetxt(save_to / folder_nick / name / (name + '_att_weights.txt'),
+                np.savetxt(save_to / into / name / f'{name}_att_weights.txt',
                            np.asarray(prediction['att_weights']))
-        return prediction_imgs
+        return rendered
 
     def _pred_to_pattern(self, prediction, dataname):
         """Standardized prediction dict -> NNSewingPattern
@@ -750,12 +742,11 @@ class Garment3DPatternFullDataset(GarmentBaseDataset):
     def free_edges_mask(pattern, stitches, num_stitches):
         """True for edges not participating in any stitch
         (reference: datasets.py:970-982)."""
-        mask = np.ones((pattern.shape[0], pattern.shape[1]), dtype=bool)
-        max_edge = pattern.shape[1]
-        for side in stitches[:, :num_stitches]:
-            for edge_id in side:
-                mask[edge_id // max_edge][edge_id % max_edge] = False
-        return mask
+        n_panels, row_len = pattern.shape[:2]
+        stitched = np.asarray(stitches)[:, :num_stitches].ravel()
+        mask = np.ones(n_panels * row_len, dtype=bool)
+        mask[stitched] = False
+        return mask.reshape(n_panels, row_len)
 
 
 class GarmentStitchPairsDataset(GarmentBaseDataset):
@@ -805,51 +796,55 @@ class GarmentStitchPairsDataset(GarmentBaseDataset):
         self.transforms.append(
             transforms.FeatureStandartization(stats['f_shift'], stats['f_scale']))
 
+    def _spec_path(self, datapoint_name, missing_ok=False):
+        """The datapoint's spec file, preferring a previously PREDICTED spec
+        over the GT one (the stage-1 -> stage-2 filesystem handoff)."""
+        specs = sorted(f.name for f in (self.root_path / datapoint_name).glob('*')
+                       if 'specification.json' in f.name)
+        if not specs:
+            if missing_ok:
+                return None
+            raise RuntimeError(
+                f'{self.__class__.__name__}::Error::*specification.json not found '
+                f'for {datapoint_name}')
+        best = [f for f in specs if 'predicte' in f]
+        return self.root_path / datapoint_name / (best[0] if best else specs[0])
+
     def save_prediction_batch(self, predictions, datanames, data_folders, save_to,
                               model=None, orig_folder_names=False, **kwargs):
         """Re-classify stitches of the stored (predicted) patterns with the
         given pair-classifier callable and save them
         (reference: datasets.py:1051-1094). `model`: (M, 16) -> (M,) logits."""
         save_to = Path(save_to)
-        prediction_imgs = []
+        rendered = []
         for name, folder in zip(datanames, data_folders):
-            folder_elements = [f.name for f in (self.root_path / folder / name).glob('*')]
-            spec_list = [f for f in folder_elements if 'specification.json' in f]
-            if not spec_list:
+            spec_path = self._spec_path(f'{folder}/{name}', missing_ok=True)
+            if spec_path is None:
                 print(f'{self.__class__.__name__}::Error::{name} serializing skipped: '
                       '*specification.json not found')
                 continue
-            predicted_list = [f for f in spec_list if 'predicte' in f]
-            spec = predicted_list[0] if predicted_list else spec_list[0]
-            pattern = NNSewingPattern(self.root_path / folder / name / spec)
+            pattern = NNSewingPattern(spec_path)
             pattern.stitches_from_pair_classifier(model, self.config['standardize'])
 
-            folder_nick = self.data_folders_nicknames[folder] if not orig_folder_names else folder
+            into = folder if orig_folder_names \
+                else self.data_folders_nicknames[folder]
             try:
-                final_dir = pattern.serialize(save_to / folder_nick, to_subfolder=True,
-                                              tag='_predicted_')
+                out_dir = Path(pattern.serialize(save_to / into, to_subfolder=True,
+                                                 tag='_predicted_'))
             except (RuntimeError, InvalidPatternDefError, TypeError) as e:
                 print(f'{self.__class__.__name__}::Error::{name} serializing skipped: {e}')
                 continue
-            prediction_imgs.append(Path(final_dir) / f'{pattern.name}_predicted__pattern.png')
-            for file in (self.root_path / folder / name).glob('*'):
-                if file.suffix in ('.png', '.json'):
-                    shutil.copy2(str(file), str(final_dir))
-        return prediction_imgs
+            rendered.append(out_dir / f'{pattern.name}_predicted__pattern.png')
+            for source in (self.root_path / folder / name).glob('*'):
+                if source.suffix in ('.png', '.json'):
+                    shutil.copy2(str(source), str(out_dir))
+        return rendered
 
     def _get_sample_info(self, datapoint_name):
         if datapoint_name in self.gt_cached:
             return self.feature_cached[datapoint_name], self.gt_cached[datapoint_name]
 
-        folder_elements = [f.name for f in (self.root_path / datapoint_name).glob('*')]
-        spec_list = [f for f in folder_elements if 'specification.json' in f]
-        if not spec_list:
-            raise RuntimeError(
-                f'{self.__class__.__name__}::Error::*specification.json not found '
-                f'for {datapoint_name}')
-        predicted_list = [f for f in spec_list if 'predicte' in f]
-        spec = predicted_list[0] if predicted_list else spec_list[0]
-        pattern = NNSewingPattern(self.root_path / datapoint_name / spec)
+        pattern = NNSewingPattern(self._spec_path(datapoint_name))
 
         if self.config['random_pairs_mode']:
             seed = self.config.get('pairs_seed')
@@ -871,27 +866,18 @@ class GarmentStitchPairsDataset(GarmentBaseDataset):
         return features, ground_truth
 
     def _clean_datapoint_list(self, datapoints_names, dataset_folder):
-        datapoints_names = super()._clean_datapoint_list(datapoints_names, dataset_folder)
-        final_list = []
-        for datapoint_name in datapoints_names:
-            folder_elements = [f.name for f in (self.root_path / datapoint_name).glob('*')]
-            spec_list = [f for f in folder_elements if 'specification.json' in f]
-            if not spec_list:
-                raise RuntimeError(
-                    f'{self.__class__.__name__}::Error::*specification.json not found '
-                    f'for {datapoint_name}')
-            predicted_list = [f for f in spec_list if 'predicte' in f]
-            spec = predicted_list[0] if predicted_list else spec_list[0]
-            pattern = NNSewingPattern(self.root_path / datapoint_name / spec)
-            if not len(pattern.pattern['stitches']):
-                print(f'{self.__class__.__name__}::ERROR::{datapoint_name}::has no stitches')
+        survivors = []
+        for name in super()._clean_datapoint_list(datapoints_names, dataset_folder):
+            pattern = NNSewingPattern(self._spec_path(name))
+            if not pattern.pattern['stitches']:
+                print(f'{self.__class__.__name__}::ERROR::{name}::has no stitches')
                 continue
-            if self.filter_correct_n_panels:
-                correct = pattern.spec['properties'].get('correct_num_panels')
-                if correct != len(pattern.pattern['panels']):
-                    continue
-            final_list.append(datapoint_name)
-        return final_list
+            if self.filter_correct_n_panels and \
+                    pattern.spec['properties'].get('correct_num_panels') \
+                    != len(pattern.pattern['panels']):
+                continue
+            survivors.append(name)
+        return survivors
 
 
 DATASET_REGISTRY = {

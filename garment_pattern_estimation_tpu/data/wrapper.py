@@ -9,6 +9,7 @@ prediction saving.
 from __future__ import annotations
 
 import json
+import time
 from argparse import Namespace
 from datetime import datetime
 from pathlib import Path
@@ -24,16 +25,12 @@ class DatasetWrapper:
 
     def __init__(self, in_dataset, known_split=None, batch_size=None, shuffle_train=True):
         self.dataset = in_dataset
-        self.data_section_list = ['full', 'train', 'validation', 'test']
-
-        self.training = in_dataset
-        self.validation = None
-        self.test = None
+        # whole-dataset section until a split is loaded
+        self.training, self.validation, self.test = in_dataset, None, None
         self.full_per_datafolder = None
         self.training_per_datafolder = {}
         self.validation_per_datafolder = {}
         self.test_per_datafolder = {}
-
         self.batch_size = None
         self.loaders = Namespace(
             full=None, full_per_data_folder=None,
@@ -52,79 +49,78 @@ class DatasetWrapper:
             self.new_loaders(batch_size, shuffle_train)
 
     def get_loader(self, data_section='full'):
-        try:
-            return getattr(self.loaders, data_section)
-        except AttributeError:
+        if not hasattr(self.loaders, data_section):
             raise ValueError(
                 f'DataWrapper::requested loader on unknown data section {data_section}')
+        return getattr(self.loaders, data_section)
 
     def new_loaders(self, batch_size=None, shuffle_train=True):
         """(Re)build loaders for the current split."""
-        if batch_size is not None:
-            self.batch_size = batch_size
+        self.batch_size = batch_size if batch_size is not None else self.batch_size
         if self.batch_size is None:
             raise RuntimeError('DataWrapper::Error::cannot create loaders: batch_size not set')
 
         seed = self.split_info.get('random_seed')
-        self.loaders.full = DataLoader(self.dataset, self.batch_size)
         if self.full_per_datafolder is None:
             self.full_per_datafolder = self.dataset.subsets_per_datafolder()
-        self.loaders.full_per_data_folder = self._loaders_dict(
-            self.full_per_datafolder, self.batch_size)
 
-        # train/validation loaders must not depend on a test section
-        # existing (a split with test_per_type=0/None is legal)
+        # plain sections + their per-folder breakdowns, one recipe each;
+        # train/validation never depend on a test section existing (a split
+        # with test_per_type=0/None is legal)
+        plain = (('full', 'full_per_data_folder',
+                  self.dataset, self.full_per_datafolder),
+                 ('validation', 'valid_per_data_folder',
+                  self.validation, self.validation_per_datafolder),
+                 ('test', 'test_per_data_folder',
+                  self.test, self.test_per_datafolder))
+        for name, breakdown_name, subset, per_folder in plain:
+            if subset is None:
+                continue
+            setattr(self.loaders, name, DataLoader(subset, self.batch_size))
+            setattr(self.loaders, breakdown_name, {
+                folder: DataLoader(sub, self.batch_size)
+                for folder, sub in per_folder.items() if sub is not None})
+
         if self.training is not None:
-            try:
-                self.dataset.config['balanced_batch_sampling'] = True
-                _, train_per_type = self.dataset.indices_by_data_folder(
-                    self.training.indices)
-                sampler = BalancedBatchSampler(train_per_type,
-                                               batch_size=self.batch_size, seed=seed)
-                self.loaders.train = DataLoader(self.training, batch_sampler=sampler)
-            except (AttributeError, NotImplementedError):
-                print(f'{self.__class__.__name__}::Warning::failed to create balanced '
-                      'batches for training. Using default sampling')
-                self.dataset.config['balanced_batch_sampling'] = False
-                self.loaders.train = DataLoader(
-                    self.training, self.batch_size, shuffle=shuffle_train, seed=seed)
-
+            self.loaders.train = self._training_loader(shuffle_train, seed)
         if self.validation is not None:
-            self.loaders.validation = DataLoader(self.validation, self.batch_size)
-            self.loaders.valid_per_data_folder = self._loaders_dict(
-                self.validation_per_datafolder, self.batch_size)
-
-            single_ids = [folder_subset.indices[0]
-                          for folder_subset in self.validation_per_datafolder.values()
-                          if folder_subset is not None and len(folder_subset)]
+            # one sample of every garment type, for visual logging
+            first_of_each = [sub.indices[0]
+                             for sub in self.validation_per_datafolder.values()
+                             if sub is not None and len(sub)]
             self.loaders.valid_single_per_data = DataLoader(
-                Subset(self.dataset, single_ids), batch_size=self.batch_size)
-
-        if self.test is not None:
-            self.loaders.test = DataLoader(self.test, self.batch_size)
-            self.loaders.test_per_data_folder = self._loaders_dict(
-                self.test_per_datafolder, self.batch_size)
+                Subset(self.dataset, first_of_each), batch_size=self.batch_size)
 
         return self.loaders.train, self.loaders.validation, self.loaders.test
 
-    @staticmethod
-    def _loaders_dict(subsets_dict, batch_size, shuffle=False):
-        return {name: DataLoader(subset, batch_size, shuffle=shuffle)
-                for name, subset in subsets_dict.items() if subset is not None}
+    def _training_loader(self, shuffle_train, seed):
+        """Balanced garment-type batches when the dataset supports the
+        grouping; plain shuffling otherwise."""
+        try:
+            self.dataset.config['balanced_batch_sampling'] = True
+            _, per_type = self.dataset.indices_by_data_folder(
+                self.training.indices)
+            sampler = BalancedBatchSampler(per_type, batch_size=self.batch_size,
+                                           seed=seed)
+            return DataLoader(self.training, batch_sampler=sampler)
+        except (AttributeError, NotImplementedError):
+            print(f'{self.__class__.__name__}::Warning::failed to create balanced '
+                  'batches for training. Using default sampling')
+            self.dataset.config['balanced_batch_sampling'] = False
+            return DataLoader(self.training, self.batch_size,
+                              shuffle=shuffle_train, seed=seed)
 
     # ---- split reproduction ----
     def new_split(self, valid, test=None, random_seed=None):
-        import time
         # `is None`, not falsy: random_seed=0 is a legitimate fixed seed
-        self.split_info['random_seed'] = random_seed if random_seed is not None \
-            else int(time.time())
-        self.split_info.update(valid_per_type=valid, test_per_type=test, type='count')
+        self.split_info.update(
+            random_seed=int(time.time()) if random_seed is None else random_seed,
+            valid_per_type=valid, test_per_type=test, type='count')
         return self.load_split()
 
     def load_split(self, split_info=None, batch_size=None):
         """Reproduce (or create) the split; reseeds the split RNG so the same
         `random_seed` always yields the same subsets."""
-        import time
         if split_info:
             self.split_info = dict(split_info)
         if self.split_info.get('random_seed') is None:
@@ -156,13 +152,12 @@ class DatasetWrapper:
         if self.batch_size is not None:
             self.new_loaders()
 
-        print('DatasetWrapper::split sizes (train/valid/test): {} / {} / {}'.format(
-            len(self.training) if self.training else None,
-            len(self.validation) if self.validation else None,
-            len(self.test) if self.test else None))
-        self.split_info['size_train'] = len(self.training) if self.training else 0
-        self.split_info['size_valid'] = len(self.validation) if self.validation else 0
-        self.split_info['size_test'] = len(self.test) if self.test else 0
+        sizes = {tag: len(subset) if subset else 0 for tag, subset in
+                 (('train', self.training), ('valid', self.validation),
+                  ('test', self.test))}
+        print('DatasetWrapper::split sizes (train/valid/test): '
+              + ' / '.join(str(n) for n in sizes.values()))
+        self.split_info.update({f'size_{tag}': n for tag, n in sizes.items()})
         return self.training, self.validation, self.test
 
     def save_to_wandb(self, experiment):
@@ -188,22 +183,21 @@ class DatasetWrapper:
         """Run `predict_fn(features_batch) -> prediction dict/array` over the
         requested sections and save via the dataset's hooks
         (reference: nn/data/wrapper.py:504-537)."""
-        prediction_path = Path(save_to) / (
-            f'nn_{dir_tag}_' + datetime.now().strftime('%y%m%d-%H-%M-%S'))
-        prediction_path.mkdir(parents=True, exist_ok=True)
+        stamp = datetime.now().strftime('%y%m%d-%H-%M-%S')
+        out_root = Path(save_to) / f'nn_{dir_tag}_{stamp}'
+        out_root.mkdir(parents=True, exist_ok=True)
 
         for section in sections:
-            section_dir = prediction_path / section
-            section_dir.mkdir(parents=True, exist_ok=True)
+            target = out_root / section
+            target.mkdir(parents=True, exist_ok=True)
             loader = self.get_loader(section)
             if not loader:
                 continue
             for batch in loader:
-                preds = predict_fn(batch['features'])
                 self.dataset.save_prediction_batch(
-                    preds, batch['name'], batch['data_folder'], section_dir,
-                    features=batch['features'], model=model,
-                    orig_folder_names=orig_folder_names)
+                    predict_fn(batch['features']), batch['name'],
+                    batch['data_folder'], target, features=batch['features'],
+                    model=model, orig_folder_names=orig_folder_names)
                 if single_batch:
                     break
-        return prediction_path
+        return out_root

@@ -98,11 +98,16 @@ class EdgeConv(nn.Module):
     use_pallas: bool | None = None
     compute_dtype: str | None = None
     # training-path chunking (ops/edgeconv_train): None = auto (on when the
-    # gathered edge tensor would exceed _CHUNK_TRAIN_BYTES), True/False force
+    # widest per-edge intermediate would exceed _CHUNK_TRAIN_BYTES),
+    # True/False force
     train_chunked: bool | None = None
     train_chunk_size: int | None = None
 
-    _CHUNK_TRAIN_BYTES = 1 << 27  # 128 MB of (B, N, k, 2C) f32 edges
+    # the unfused path materializes (B, N, k, W) for the WIDEST W among the
+    # edge input (2C) and every MLP hidden layer; up to ~2 GB that is still
+    # faster than chunked sweeps on a 16 GB chip — past it (the 128x10k
+    # stress config) only the chunked path fits at all
+    _CHUNK_TRAIN_BYTES = 1 << 31
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,7 +118,8 @@ class EdgeConv(nn.Module):
         if train and not self.is_initializing():
             chunked = self.train_chunked
             if chunked is None:
-                chunked = (B * N * min(self.k, N) * 2 * C * 4
+                widest = max([2 * C] + list(self.mlp_features))
+                chunked = (B * N * min(self.k, N) * widest * 4
                            > self._CHUNK_TRAIN_BYTES)
             if chunked and self.compute_dtype is None:
                 # chunked + rematerialized training path: the (B, N, k, C)

@@ -83,7 +83,12 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
     L = len(layers)
 
     if chunk is None:
-        chunk = N if B * N * k * 2 * C <= (1 << 26) else 512
+        # size chunks so the WIDEST per-edge tensor (edge input 2C or any
+        # MLP hidden width) stays ~256 MB per sweep step: a handful of
+        # these live concurrently in the rematerialized backward
+        widest = max([2 * C] + [w.shape[1] for w, *_ in layers])
+        per_row = B * k * widest * 4
+        chunk = max(32, min(N, (1 << 28) // max(per_row, 1)))
     chunk = min(chunk, N)
     pad = (-N) % chunk
     if pad:
