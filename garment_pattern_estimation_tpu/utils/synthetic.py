@@ -97,8 +97,14 @@ TEMPLATES = {
         'stitches': [
             (('jfront', 1), ('jback', 3)),
             (('jfront', 3), ('jback', 1)),
-            (('lpant', 2), ('jfront', 0)),
-            (('rpant', 2), ('jback', 0)),
+            # waist seams: the pants' TOP edge (edge 1 of a 4-vertex
+            # trapezoid) onto the bodice bottom. Using a pant SIDE edge here
+            # (as an earlier revision did) creates a label conflict: the
+            # positive pair's geometry is then nearly identical to sampled
+            # negative side-edge pairs, and the pair classifier learns the
+            # majority (negative) label — jumpsuit recall capped at 0.77
+            (('lpant', 1), ('jfront', 0)),
+            (('rpant', 1), ('jback', 0)),
             (('hood', 0), ('jback', 2)),
         ],
     },
