@@ -192,6 +192,16 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
     print(f'parity_check::training the torch reference recipe '
           f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
 
+    # best-validation model selection for BOTH stacks — the reference
+    # recipe's 'best' checkpoint (nn/trainer.py:214-219); point-estimating
+    # noisy metrics at whatever params the LAST step left would blur the
+    # comparison with late-training jitter
+    valid_batches = [
+        {'features': np.asarray(b['features'], np.float32),
+         'ground_truth': {k: np.asarray(v)
+                          for k, v in b['ground_truth'].items()}}
+        for b in wrapper.loaders.validation]
+
     def progress(step, loss):
         if step % 60 == 0:
             print(f'parity_check::torch step {step}/{total_steps} '
@@ -199,7 +209,8 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
 
     torch_hist = train_reference_torch(replica, epoch_batches, schedule,
                                        pad_vector, loop_weight=loop_w,
-                                       on_step=progress)
+                                       on_step=progress,
+                                       valid_batches=valid_batches)
 
     print('parity_check::training this framework on the same batches')
     tx = optax.adam(schedule)
@@ -220,7 +231,17 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, new_opt, loss
 
+    @jax.jit
+    def val_loss(params, stats, batch):
+        preds = model.module.apply({'params': params, 'batch_stats': stats},
+                                   batch['features'], train=False)
+        loss, _, _ = model.loss(preds, batch['ground_truth'], epoch=0)
+        return loss
+
+    placed_valid = [jax.tree_util.tree_map(jnp.asarray, b)
+                    for b in valid_batches]
     jax_hist = []
+    best = (float('inf'), None)
     for batches in epoch_batches:
         pending = []
         for batch in batches:
@@ -229,7 +250,12 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
                                                   placed)
             pending.append(loss)
         jax_hist += [float(v) for v in jax.device_get(pending)]
+        val = float(np.mean([float(val_loss(params, stats, b))
+                             for b in placed_valid]))
+        if val < best[0]:
+            best = (val, jax.tree_util.tree_map(np.asarray, (params, stats)))
 
+    params, stats = best[1] if best[1] is not None else (params, stats)
     trained_vars = {'params': params, 'batch_stats': stats}
     report['train_loss_first_step'] = {'torch': torch_hist[0],
                                        'ours': jax_hist[0]}

@@ -266,7 +266,7 @@ def _torch_gt(gt):
 
 
 def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
-                          loop_weight=1.0, on_step=None):
+                          loop_weight=1.0, on_step=None, valid_batches=None):
     """Train the torch replica with the reference recipe (Adam + per-step
     scheduled lr + composed loss — nn/trainer.py:162-185).
 
@@ -275,13 +275,21 @@ def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
     are directly comparable. `lr_schedule(step) -> lr` is the same optax
     schedule the JAX optimizer runs (identical lr sequences by
     construction; optax/torch Adam are the same update for eps=1e-8,
-    betas=(0.9, 0.999)). Returns the per-step loss history."""
+    betas=(0.9, 0.999)). Returns the per-step loss history.
+
+    `valid_batches`: when given, a validation pass runs after every epoch
+    and the best-validation weights are RESTORED into the model at the end
+    — the reference recipe's 'best' checkpoint selection
+    (nn/trainer.py:214-219)."""
+    import copy as _copy
+
     pad = torch.from_numpy(np.array(pad_vector, dtype=np.float32))  # owns data
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)  # lr set per step
-    model.train()
     history = []
+    best = (float('inf'), None)
     step = 0
     for batches in epoch_batches:
+        model.train()
         for batch in batches:
             for group in opt.param_groups:
                 group['lr'] = float(lr_schedule(step))
@@ -297,6 +305,19 @@ def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
             if on_step is not None:
                 on_step(step, history[-1])
             step += 1
+        if valid_batches:
+            model.eval()
+            with torch.no_grad():
+                val = float(np.mean([
+                    float(torch_composed_loss(
+                        model(torch.from_numpy(np.asarray(
+                            b['features'], dtype=np.float32))),
+                        _torch_gt(b['ground_truth']), pad, loop_weight)[0])
+                    for b in valid_batches]))
+            if val < best[0]:
+                best = (val, _copy.deepcopy(model.state_dict()))
+    if best[1] is not None:
+        model.load_state_dict(best[1])
     return history
 
 
