@@ -33,7 +33,7 @@ class PanelClasses:
 
     def class_idx(self, template, panel):
         """Index of the class the (template, panel) pair belongs to."""
-        return self.panel_to_idx[(template, panel)]
+        return self.panel_to_idx[template, panel]
 
     def class_name(self, idx):
         return self.names[idx]
@@ -43,8 +43,8 @@ class PanelClasses:
         map to -1 with a warning (reference: panel_classes.py:819-830)."""
         def one(panel):
             if panel == 'stitch':
-                print(f'{self.__class__.__name__}::Warning::Mapping stitch label')
+                print(f'{type(self).__name__}::Warning::stitch label maps to -1')
                 return -1
-            return self.panel_to_idx[(template_name, panel)]
+            return self.panel_to_idx[template_name, panel]
 
         return np.array([one(panel) for panel in panel_list], dtype=float)

@@ -30,12 +30,12 @@ def sample_points_from_meshes(mesh_paths, data_config, seed=None):
 def save_garments_prediction(predictions, save_to, data_config=None, datanames=None,
                              stitches_from_stitch_tags=False, panel_classifier=None):
     """Save arbitrary (non-dataset) pattern predictions to disk."""
-    save_to = Path(save_to)
-    if datanames is None:
-        datanames = [f'pred_{i}' for i
-                     in range(np.asarray(predictions['outlines']).shape[0])]
+    out_root = Path(save_to)
+    n_patterns = np.asarray(predictions['outlines']).shape[0]
+    names = datanames if datanames is not None \
+        else [f'pred_{i}' for i in range(n_patterns)]
 
-    for idx, name in enumerate(datanames):
+    for idx, name in enumerate(names):
         prediction = {key: np.asarray(batch[idx])
                       for key, batch in predictions.items()}
 
@@ -47,10 +47,9 @@ def save_garments_prediction(predictions, save_to, data_config=None, datanames=N
                 prediction[key] = prediction[key] * np.asarray(stats['gt_scale'][key]) \
                     + np.asarray(shift)
 
-        stitches = None
-        if stitches_from_stitch_tags:
-            stitches = tags_to_stitches_np(prediction['stitch_tags'],
-                                           prediction['free_edges_mask'])
+        stitches = tags_to_stitches_np(
+            prediction['stitch_tags'], prediction['free_edges_mask']) \
+            if stitches_from_stitch_tags else None
 
         pattern = NNSewingPattern(view_ids=False, panel_classifier=panel_classifier)
         pattern.name = name
@@ -58,7 +57,7 @@ def save_garments_prediction(predictions, save_to, data_config=None, datanames=N
             pattern.pattern_from_tensors(
                 prediction['outlines'], prediction['rotations'],
                 prediction['translations'], stitches=stitches, padded=True)
-            pattern.serialize(save_to, to_subfolder=True)
-        except (RuntimeError, InvalidPatternDefError, TypeError) as e:
-            print(e)
+            pattern.serialize(out_root, to_subfolder=True)
+        except (RuntimeError, InvalidPatternDefError, TypeError) as err:
+            print(err)
             print(f'Saving predictions::skipping pattern {name}')

@@ -9,7 +9,6 @@ prediction saving.
 from __future__ import annotations
 
 import json
-import time
 from argparse import Namespace
 from datetime import datetime
 from pathlib import Path
@@ -23,10 +22,11 @@ from .sampler import BalancedBatchSampler
 class DatasetWrapper:
     """Dataset + splits + loaders + prediction routines."""
 
-    def __init__(self, in_dataset, known_split=None, batch_size=None, shuffle_train=True):
-        self.dataset = in_dataset
+    def __init__(self, dataset, known_split=None, batch_size=None,
+                 shuffle_train=True):
+        self.dataset = dataset
         # whole-dataset section until a split is loaded
-        self.training, self.validation, self.test = in_dataset, None, None
+        self.training, self.validation, self.test = dataset, None, None
         self.full_per_datafolder = None
         self.training_per_datafolder = {}
         self.validation_per_datafolder = {}
@@ -114,7 +114,8 @@ class DatasetWrapper:
     def new_split(self, valid, test=None, random_seed=None):
         # `is None`, not falsy: random_seed=0 is a legitimate fixed seed
         self.split_info.update(
-            random_seed=int(time.time()) if random_seed is None else random_seed,
+            random_seed=(int(datetime.now().timestamp())
+                         if random_seed is None else random_seed),
             valid_per_type=valid, test_per_type=test, type='count')
         return self.load_split()
 
@@ -124,7 +125,7 @@ class DatasetWrapper:
         if split_info:
             self.split_info = dict(split_info)
         if self.split_info.get('random_seed') is None:
-            self.split_info['random_seed'] = int(time.time())
+            self.split_info['random_seed'] = int(datetime.now().timestamp())
         rng = np.random.default_rng(self.split_info['random_seed'])
 
         if self.split_info.get('filename'):
