@@ -123,12 +123,12 @@ def test_parity_check_two_stage_and_expected(parity_env, tmp_path, monkeypatch):
     expected['panel_shape_l2'] *= 1.005   # within 1%: must still PASS
     rows = parity_check._compare_rows(ours, expected, list(expected),
                                       'published')
-    assert all(delta <= 0.01 for _, _, _, delta in rows)
+    assert all(delta <= 0.01 for _, _, _, delta, _ in rows)
 
     expected['panel_shape_l2'] *= 1.10    # push beyond tolerance: must FAIL
     rows = parity_check._compare_rows(ours, expected, list(expected),
                                       'published')
-    assert any(delta > 0.01 for _, _, _, delta in rows)
+    assert any(delta > 0.01 for _, _, _, delta, _ in rows)
 
 
 def test_parity_check_torch_train_cross_check(parity_env, tmp_path, monkeypatch):
