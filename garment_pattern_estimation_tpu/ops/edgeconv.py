@@ -44,7 +44,7 @@ from .knn import (GHOST as _GHOST, round_up as _round_up,
                   gather_from_splits as _gather_from_splits,
                   batched_cross_from_splits as _oracle_cross,
                   tree_sum as _tree_sum, _tree_min,
-                  _extract_topk, _extract_topk_packed)
+                  _extract_topk, _extract_topk_packed, SPLIT_EXACT)
 
 _IDX_BITS = 11                    # packed column ids are tile-local: <= 2048
 _IDX_MASK = (1 << _IDX_BITS) - 1
@@ -214,7 +214,8 @@ def _fused_kernel(*refs, k, n_layers, mlp_dtype, d_live=None):
             h_bf = _split_bf16(h, pltpu.bitcast, terms=1)[0].astype(jnp.bfloat16)
             z = jax.lax.dot_general(
                 h_bf, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b_ref[:]
+                preferred_element_type=jnp.float32,
+                precision=SPLIT_EXACT) + b_ref[:]
             h = jnp.maximum(z, 0.0)
         o = h * a_ref[:] + d_ref[:]                           # f32 (TM, H_out)
         out = o if out is None else jnp.maximum(out, o)
@@ -234,7 +235,8 @@ def _mlp_max_tail(q, nbrs, layer_refs, a_ref, d_ref, n_layers):
             h_bf = _split_bf16(h, pltpu.bitcast, terms=1)[0].astype(jnp.bfloat16)
             z = jax.lax.dot_general(
                 h_bf, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b_ref[:]
+                preferred_element_type=jnp.float32,
+                precision=SPLIT_EXACT) + b_ref[:]
             h = jnp.maximum(z, 0.0)
         o = h * a_ref[:] + d_ref[:]
         out = o if out is None else jnp.maximum(out, o)
@@ -602,7 +604,8 @@ def fused_edgeconv_reference(x, folded, k, mlp_dtype=jnp.float32):
         h_t = _split_bf16(h, terms=1)[0]
         w_bf = w.astype(jnp.bfloat16).astype(jnp.float32)
         z = jnp.einsum('bnkc,ch->bnkh', h_t, w_bf,
-                       preferred_element_type=jnp.float32) + b
+                       preferred_element_type=jnp.float32,
+                       precision=SPLIT_EXACT) + b
         h = jnp.maximum(z, 0.0)
     out = h * a + d
     return jnp.max(out, axis=2)

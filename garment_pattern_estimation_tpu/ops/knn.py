@@ -49,6 +49,13 @@ GHOST = 1e15  # padded keys get this coordinate: never enter any top-k
 # Pallas interpret mode elides them while its dots still round operands).
 EXACT = jax.lax.Precision.HIGHEST
 
+# Split-product dots pin DEFAULT explicitly: the chunks are bf16-representable
+# by construction, so DEFAULT's input rounding is lossless and every product
+# exact anyway — and an ambient `jax.default_matmul_precision('highest')`
+# (parity_check wraps its whole run in one) must not retarget kernel dots to
+# an fp32 contraction, which Mosaic rejects on bf16 operands ("Bad lhs type").
+SPLIT_EXACT = jax.lax.Precision.DEFAULT
+
 # sign + exponent + top 7 fraction bits (plain int: jnp constants would be
 # captured as kernel consts)
 _TRUNC_MASK = ~0xFFFF
@@ -80,7 +87,7 @@ def cross_from_splits(q_chunks, k_chunks):
     def dot(a, b):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=SPLIT_EXACT)
     acc = None
     for i, j in _CROSS_PAIRS[len(q_chunks)]:
         p = dot(q_chunks[i], k_chunks[j])
@@ -97,7 +104,8 @@ def batched_cross_from_splits(q_chunks, k_chunks=None):
     acc = None
     for i, j in _CROSS_PAIRS[len(q_chunks)]:
         p = jnp.einsum('bmc,bnc->bmn', q_chunks[i], k_chunks[j],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=SPLIT_EXACT)
         acc = p if acc is None else acc + p
     return acc
 
@@ -109,7 +117,7 @@ def gather_from_splits(hit, k_chunks):
     def dot(a, b):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=SPLIT_EXACT)
     acc = None
     for c in k_chunks:
         p = dot(hit, c)

@@ -40,7 +40,7 @@ from .knn import (GHOST as _GHOST, round_up as _round_up,
                   cross_from_splits as _cross_from_splits,
                   gather_from_splits as _gather_from_splits,
                   batched_cross_from_splits as _oracle_cross,
-                  tree_sum as _tree_sum, _tree_min)
+                  tree_sum as _tree_sum, _tree_min, SPLIT_EXACT)
 from .edgeconv import _IDX_BITS, _IDX_MASK, _MAX_N_PAD, _DIRECT_C_MAX
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -149,7 +149,8 @@ def _bwd_kernel(idx_ref, g_ref, dx_ref, *, k, n_pad):
         def dot_t(a, b):
             return jax.lax.dot_general(                       # one-hot^T @ g
                 a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=SPLIT_EXACT)
         contrib = dot_t(hit, g_chunks[0]) + dot_t(hit, g_chunks[1])
         acc = contrib if acc is None else acc + contrib
     if acc is not None:

@@ -117,3 +117,31 @@ def test_pools_and_gather():
             for j in range(3):
                 np.testing.assert_array_equal(
                     gathered[b, n, j], np.asarray(x)[b, np.asarray(idx)[b, n, j]])
+
+
+def test_split_dots_pin_default_precision():
+    """An ambient `default_matmul_precision('highest')` (parity_check wraps
+    its whole run in one) must not retarget the split-product dots: their
+    operands are bf16-representable by construction, and Mosaic rejects an
+    fp32-precision contraction on bf16 operands outright. Inspect the jaxprs
+    and assert every dot stays pinned at DEFAULT."""
+    from garment_pattern_estimation_tpu.ops.knn import (
+        split_bf16, cross_from_splits, gather_from_splits,
+        batched_cross_from_splits)
+
+    def dots(fn, *xs):
+        jaxpr = jax.make_jaxpr(fn)(*xs)
+        return [e.params['precision'] for e in jaxpr.jaxpr.eqns
+                if e.primitive.name == 'dot_general']
+
+    q = jnp.ones((8, 4), jnp.float32)
+    hit = jnp.ones((8, 8), jnp.bfloat16)
+    batched = jnp.ones((2, 8, 4), jnp.float32)
+    with jax.default_matmul_precision('highest'):
+        seen = (
+            dots(lambda a: cross_from_splits(split_bf16(a), split_bf16(a)), q)
+            + dots(lambda h, a: gather_from_splits(h, split_bf16(a)), hit, q)
+            + dots(batched_cross_from_splits, [batched, batched]))
+    assert seen, 'expected dot_general equations in the split helpers'
+    default = (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT)
+    assert all(p == default for p in seen), seen
