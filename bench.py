@@ -58,15 +58,20 @@ def measure_inference(batch, num_points, warmup=1, iters=5):
     return batch / elapsed, elapsed
 
 
-def measure_train_step(batch=30, num_points=2000, steps=20):
+def measure_train_step(batch=30, num_points=2000, steps=20,
+                       compute_dtype=None):
     """Published training recipe step time — and, at (128, 10000), the
     stress-config TRAINING step: the chunked rematerialized EdgeConv path
     (ops/edgeconv_train, auto-enabled past 128 MB of gathered edges) keeps
-    the backward pass inside HBM where the unfused gather would OOM."""
-    return _measure_train_step(batch, num_points, steps)
+    the backward pass inside HBM where the unfused gather would OOM.
+
+    `compute_dtype='bfloat16'` times the mixed-precision training mode
+    (encoder matmuls on the MXU in bf16, params/optimizer/loss in f32 —
+    the `nn.compute_dtype` config knob)."""
+    return _measure_train_step(batch, num_points, steps, compute_dtype)
 
 
-def _measure_train_step(batch, num_points, steps):
+def _measure_train_step(batch, num_points, steps, compute_dtype=None):
     """Published training recipe step time: att model at full scale, composed
     loss with quality metrics (configs/att.yaml), Adam, donated buffers.
     Steps are dispatched back-to-back (async) and synced once at the end —
@@ -85,7 +90,10 @@ def _measure_train_step(batch, num_points, steps):
         'panel_origin_invariant_loss': False,
         'panel_order_inariant_loss': False,
     }
-    model = build_model('GarmentSegmentPattern3D', DATA_CONFIG, NN_CONFIG,
+    nn_config = dict(NN_CONFIG)
+    if compute_dtype:
+        nn_config['compute_dtype'] = compute_dtype
+    model = build_model('GarmentSegmentPattern3D', DATA_CONFIG, nn_config,
                         loss_config)
 
     rng = np.random.default_rng(0)
@@ -290,6 +298,12 @@ def main():
         extras['train_step_ms_batch30'] = round(measure_train_step(), 2)
     except Exception as e:  # noqa: BLE001 — report, don't sink the headline
         print(f'bench::warning::train-step bench failed ({e})', file=sys.stderr)
+    try:
+        extras['train_step_ms_batch30_bf16'] = round(
+            measure_train_step(compute_dtype='bfloat16'), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::bf16 train-step bench failed ({e})',
+              file=sys.stderr)
     try:
         extras['stress_knn_128x10k_ms'] = round(measure_stress_knn(), 2)
     except Exception as e:  # noqa: BLE001

@@ -128,7 +128,10 @@ class EdgeConv(nn.Module):
                 # statistics are global, gradients exact (edgeconv_train)
                 idx = knn_search(
                     jax.lax.stop_gradient(x).astype(jnp.float32),
-                    min(self.k, N), use_pallas=self.use_pallas)
+                    min(self.k, N), use_pallas=self.use_pallas,
+                    **({'interpret': True}
+                       if self.use_pallas and jax.default_backend() != 'tpu'
+                       else {}))
                 out, stats_pairs = chunked_edgeconv_train(
                     x, idx, self.get_variable('params', 'MLP_0'),
                     chunk=self.train_chunk_size, aggr=self.aggr)
@@ -165,7 +168,11 @@ class EdgeConv(nn.Module):
         else:
             # kNN stays f32: near-tie neighbor ranking is precision-sensitive
             idx = knn_search(jax.lax.stop_gradient(x).astype(jnp.float32),
-                             self.k, use_pallas=self.use_pallas)
+                             self.k, use_pallas=self.use_pallas,
+                             **({'interpret': True}
+                                if self.use_pallas
+                                and jax.default_backend() != 'tpu'
+                                else {}))
             neighbors = gather_neighbors(x, idx)                 # (B, N, k, C)
             center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
             k_axis = 2

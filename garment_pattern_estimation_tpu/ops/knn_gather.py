@@ -268,13 +268,19 @@ def knn_gather(x, k, interpret=False):
 
 def _knn_gather_fwd(x, k, interpret):
     nbr, idx_padded = _fwd_pallas(x, k, interpret)
-    return (nbr, idx_padded[:, :x.shape[1], :k]), (idx_padded, x.shape)
+    # zero-size carrier records the primal dtype (dtype objects are not
+    # valid residual leaves)
+    return (nbr, idx_padded[:, :x.shape[1], :k]), (
+        idx_padded, x.shape, jnp.zeros((0,), x.dtype))
 
 
 def _knn_gather_bwd(k, interpret, residuals, cotangents):
-    idx_padded, shape = residuals
+    idx_padded, shape, dtype_carrier = residuals
     d_nbr, _ = cotangents  # integer index cotangent is symbolic-zero
-    return (_bwd_pallas(idx_padded, d_nbr, shape, interpret),)
+    dx = _bwd_pallas(idx_padded, d_nbr, shape, interpret)
+    # the scatter-add accumulates in f32; hand back the primal's dtype so
+    # bf16 inputs (compute_dtype paths) differentiate cleanly
+    return (dx.astype(dtype_carrier.dtype),)
 
 
 knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)

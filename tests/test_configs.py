@@ -10,7 +10,8 @@ import yaml
 CONFIG_DIR = Path(__file__).parent.parent / 'configs'
 
 
-@pytest.mark.parametrize('config_name', ['att.yaml', 'stitch_model.yaml',
+@pytest.mark.parametrize('config_name', ['att.yaml', 'att_bf16.yaml',
+                                         'stitch_model.yaml',
                                          'lstm_stitch_tags.yaml',
                                          'synthetic_quick.yaml'])
 def test_config_parses_with_expected_sections(config_name):
@@ -49,6 +50,34 @@ def test_att_config_builds_published_scale_model():
     assert 3e5 < n_params < 5e6, n_params
     preds = model.apply(variables, feats, train=False)
     assert preds['outlines'].shape == (2, 23, 14, 4)
+
+
+def test_bf16_config_runs_mixed_precision_forward():
+    """att_bf16.yaml: compute_dtype reaches the encoder (bf16 matmuls) while
+    predictions and parameters stay f32."""
+    from garment_pattern_estimation_tpu.models import build_model
+
+    config = yaml.safe_load((CONFIG_DIR / 'att_bf16.yaml').read_text())
+    assert config['NN']['compute_dtype'] == 'bfloat16'
+    ds = config['dataset']
+    data_config = {
+        'element_size': ds['element_size'], 'rotation_size': ds['rotation_size'],
+        'translation_size': ds['translation_size'],
+        'max_panel_len': ds['max_panel_len'], 'max_pattern_len': ds['max_pattern_len'],
+        'max_num_stitches': ds['max_num_stitches'],
+        'explicit_stitch_tags': ds['explicit_stitch_tags'],
+        'standardize': ds['standardize'],
+    }
+    model = build_model(config['NN']['model'], data_config, config['NN'],
+                        config['NN']['loss'], use_pallas=False)
+    assert model.module.compute_dtype == 'bfloat16'
+    feats = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 3))
+                        .astype(np.float32))
+    variables = model.init_variables(jax.random.PRNGKey(0), feats)
+    for leaf in jax.tree_util.tree_leaves(variables['params']):
+        assert leaf.dtype == jnp.float32
+    preds = model.apply(variables, feats, train=False)
+    assert preds['outlines'].dtype == jnp.float32
 
 
 def test_stitch_config_builds_and_accepts_reference_checkpoint_shape():

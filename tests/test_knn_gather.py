@@ -143,3 +143,49 @@ def test_mean_aggregation_uses_fused_path():
     out_p, _ = plain.apply(variables, x, train=True, mutable=['batch_stats'])
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                rtol=2e-4, atol=2e-5)
+
+def test_bf16_input_gradient_dtype(rng):
+    """compute_dtype paths feed bf16 activations into knn_gather: the VJP
+    must hand back a bf16 cotangent (the scatter-add itself accumulates in
+    f32). Regression for the f32/bf16 cotangent-mismatch crash."""
+    x = jnp.asarray(rng.normal(size=(1, 48, 8)).astype(np.float32))
+
+    def loss(v):
+        nbr, _ = knn_gather(v.astype(jnp.bfloat16), 3, True)
+        return jnp.sum(nbr.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert g.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(g)))
+    g_ref = jax.grad(
+        lambda v: jnp.sum(knn_gather_reference(
+            v.astype(jnp.bfloat16), 3)[0].astype(jnp.float32) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_edgeconv_bf16_grads_track_f32():
+    """Mixed-precision training mode (compute_dtype='bfloat16'): parameter
+    gradients must stay finite, f32 (params are f32), and directionally
+    aligned with the full-precision gradients."""
+    x = _grid_points((2, 120, 3), seed=7)
+    kw = dict(k=5, use_pallas=True)
+    f32 = EdgeConv([24, 24, 16], **kw)
+    b16 = EdgeConv([24, 24, 16], compute_dtype='bfloat16', **kw)
+    variables = f32.init({'params': jax.random.PRNGKey(0)}, x, train=True)
+
+    def loss(module, p):
+        out, _ = module.apply(
+            {'params': p, 'batch_stats': variables['batch_stats']},
+            x, train=True, mutable=['batch_stats'])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g32 = jax.grad(lambda p: loss(f32, p))(variables['params'])
+    g16 = jax.grad(lambda p: loss(b16, p))(variables['params'])
+    flat32 = jnp.concatenate([v.ravel() for v in jax.tree_util.tree_leaves(g32)])
+    flat16 = jnp.concatenate([v.ravel() for v in jax.tree_util.tree_leaves(g16)])
+    assert flat16.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(flat16)))
+    cos = float(jnp.vdot(flat32, flat16)
+                / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16)))
+    assert cos > 0.99, cos
