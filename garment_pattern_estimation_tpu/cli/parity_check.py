@@ -64,11 +64,16 @@ def get_args(argv=None):
                         help='epochs for --torch_train_cross_check')
     parser.add_argument('--train_seed', type=int, default=0)
     parser.add_argument('--noise_floor', action='store_true',
-                        help='with --torch_train_cross_check: train a SECOND '
-                             'torch run (train_seed+1, same batches) and use '
-                             'the torch-vs-torch metric deltas as the '
-                             'statistical envelope — a cross-framework delta '
-                             'within what two torch seeds produce is parity')
+                        help='with --torch_train_cross_check: train extra '
+                             'torch seeds (train_seed+1..+noise_seeds, same '
+                             'batches) and use the torch-vs-torch metric '
+                             'spread as the statistical envelope — a cross-'
+                             'framework delta within what torch seeds produce '
+                             'among themselves is parity')
+    parser.add_argument('--noise_seeds', type=int, default=1,
+                        help='number of EXTRA torch seeds for --noise_floor; '
+                             'more seeds ground the envelope better (each '
+                             'costs one full torch training run)')
     parser.add_argument('--max_datapoints', type=int, default=None,
                         help='cap per-type datapoints (quick smoke runs)')
     parser.add_argument('--output', default='./parity_report.json')
@@ -284,25 +289,37 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
 
     floors = None
     if args.noise_floor:
-        # second torch run: same batches/schedule, init seed+1 — the
-        # metric spread between two torch seeds is the noise the converged
-        # -metric comparison inherits; a cross-framework delta inside that
-        # envelope is indistinguishable from reference-vs-reference
-        print('parity_check::noise floor — training a second torch seed '
-              f'({args.train_seed + 1})')
-        torch.manual_seed(args.train_seed + 1)
-        replica2 = _replica_from_config(config, dataset)
-        train_reference_torch(replica2, epoch_batches, schedule, pad_vector,
-                              loop_weight=loop_w, on_step=progress,
-                              valid_batches=valid_batches)
-        metrics2 = _torch_eval_metrics(replica2, wrapper, model)
-        report['torch_noise_seed_metrics'] = {
-            k: metrics2.get(k) for k in SHAPE_METRICS if k in metrics2}
+        # extra torch runs: same batches/schedule, init seeds +1..+N — the
+        # metric spread among torch seeds is the noise the converged-metric
+        # comparison inherits; a cross-framework delta inside that envelope
+        # is indistinguishable from reference-vs-reference. One seed gives a
+        # single pairwise delta (underestimates the envelope); prefer 3+.
+        seed_metrics = []
+        for extra in range(1, max(args.noise_seeds, 1) + 1):
+            seed = args.train_seed + extra
+            print(f'parity_check::noise floor — training torch seed {seed} '
+                  f'({extra}/{args.noise_seeds})')
+            torch.manual_seed(seed)
+            replica_n = _replica_from_config(config, dataset)
+            train_reference_torch(replica_n, epoch_batches, schedule,
+                                  pad_vector, loop_weight=loop_w,
+                                  on_step=progress,
+                                  valid_batches=valid_batches)
+            metrics_n = _torch_eval_metrics(replica_n, wrapper, model)
+            seed_metrics.append(metrics_n)
+            print('parity_check::seed %d metrics: %s' % (seed, {
+                k: round(metrics_n[k], 5)
+                for k in SHAPE_METRICS if k in metrics_n}), flush=True)
+        report['torch_noise_seed_metrics'] = [
+            {k: m.get(k) for k in SHAPE_METRICS if k in m}
+            for m in seed_metrics]
         floors = {}
         for key in SHAPE_METRICS:
-            a, b = metrics2.get(key), torch_metrics.get(key)
-            if a is not None and b is not None:
-                floors[key] = abs(a - b) / max(abs(b), 1e-3)
+            base = torch_metrics.get(key)
+            vals = [m.get(key) for m in seed_metrics if m.get(key) is not None]
+            if base is not None and vals:
+                floors[key] = max(abs(v - base) / max(abs(base), 1e-3)
+                                  for v in vals)
         report['torch_noise_floor'] = floors
     return ours, _compare_rows(ours, torch_metrics, SHAPE_METRICS,
                                'torch_trained', floors=floors)

@@ -145,6 +145,7 @@ def test_parity_check_torch_train_cross_check(parity_env, tmp_path, monkeypatch)
         '--tolerance', '0.5',   # 3 tiny epochs are nowhere near converged:
                                 # this test checks the machinery; the 1% run
                                 # is the published docs/ParityResults table
+        '--noise_floor', '--noise_seeds', '2',
         '--output', str(tmp_path / 'train_ab.json')])
     assert rc == 0
     report = json.loads((tmp_path / 'train_ab.json').read_text())
@@ -152,6 +153,15 @@ def test_parity_check_torch_train_cross_check(parity_env, tmp_path, monkeypatch)
     assert 'panel_shape_l2' in report['torch_trained_metrics']
     first = report['train_loss_first_step']
     assert abs(first['torch'] - first['ours']) <= 1e-3 * abs(first['torch'])
+    # multi-seed noise floor: one metrics dict per extra torch seed, and the
+    # per-metric floor is the worst seed-vs-seed-0 spread
+    assert len(report['torch_noise_seed_metrics']) == 2
+    floors = report['torch_noise_floor']
+    base = report['torch_trained_metrics']['panel_shape_l2']
+    expected_floor = max(
+        abs(m['panel_shape_l2'] - base) / abs(base)
+        for m in report['torch_noise_seed_metrics'])
+    assert floors['panel_shape_l2'] == pytest.approx(expected_floor)
     comps = [c for c in report['comparisons']
              if c['metric'].startswith('torch_trained:')]
     assert comps and all(c['pass'] for c in comps)
