@@ -30,9 +30,13 @@ CPU_BATCH = 30   # the published recipe's batch size (configs/att.yaml) — the
 CACHE = Path(__file__).parent / '.bench_cpu_baseline.json'
 
 
-def measure_inference(batch, num_points, warmup=1, iters=5):
+def measure_inference(batch, num_points, warmup=1, iters=5,
+                      compute_dtype=None):
     """Per-batch forward time with the iteration loop ON DEVICE (one host
-    dispatch), so tunnel/dispatch latency doesn't pollute the number."""
+    dispatch), so tunnel/dispatch latency doesn't pollute the number.
+
+    `compute_dtype='bfloat16'` times the mixed-precision serving mode
+    (encoder matmuls + fused-EdgeConv gathers in bf16; outputs f32)."""
     from garment_pattern_estimation_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -41,7 +45,8 @@ def measure_inference(batch, num_points, warmup=1, iters=5):
     sys.path.insert(0, str(Path(__file__).parent))
     from __graft_entry__ import entry
 
-    forward, (features,) = entry(batch_size=batch, num_points=num_points)
+    forward, (features,) = entry(batch_size=batch, num_points=num_points,
+                                 compute_dtype=compute_dtype)
 
     @jax.jit
     def run(v):
@@ -294,6 +299,13 @@ print("CPU_RESULT", json.dumps(
 def main():
     tput, _ = measure_inference(BATCH, NUM_POINTS)
     extras = {}
+    try:
+        tput_bf16, _ = measure_inference(BATCH, NUM_POINTS,
+                                         compute_dtype='bfloat16')
+        extras['inference_clouds_per_sec_bf16'] = round(tput_bf16, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::bf16 inference bench failed ({e})',
+              file=sys.stderr)
     try:
         extras['train_step_ms_batch30'] = round(measure_train_step(), 2)
     except Exception as e:  # noqa: BLE001 — report, don't sink the headline

@@ -127,12 +127,26 @@ def _replica_from_config(config, dataset):
 def _torch_eval_metrics(replica, wrapper, model, section='test'):
     """Evaluate a torch replica instance on `section` batches through OUR
     loss/metric stack — the same aggregation as train/eval_utils
-    .eval_metrics (unweighted batch mean, nan metrics skipped)."""
+    .eval_metrics (unweighted batch mean, nan metrics skipped).
+
+    The metric math runs pinned to the CPU backend: these evals happen
+    after long host-side torch training phases, during which a shared
+    /tunneled TPU may preempt this process's idle accelerator client —
+    the tiny f32 metric reductions don't need the chip anyway."""
     import torch
+    import jax
     import jax.numpy as jnp
 
     replica.eval()
     metrics = {}
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        _accumulate_torch_metrics(replica, wrapper, model, section,
+                                  metrics, torch, jnp)
+    return {k: sum(v) / len(v) for k, v in metrics.items() if v}
+
+
+def _accumulate_torch_metrics(replica, wrapper, model, section, metrics,
+                              torch, jnp):
     for batch in wrapper.get_loader(section):
         with torch.no_grad():
             preds = replica(torch.from_numpy(np.asarray(
@@ -144,7 +158,6 @@ def _torch_eval_metrics(replica, wrapper, model, section='test'):
             value = np.asarray(value)
             if value.ndim == 0 and np.isfinite(float(value)):
                 metrics.setdefault(key, []).append(float(value))
-    return {k: sum(v) / len(v) for k, v in metrics.items() if v}
 
 
 def _train_cross_check(args, config, dataset, wrapper, model, report):
@@ -200,9 +213,6 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
     pad_vector = np.asarray(model.loss.pad_vector, np.float32)
     loop_w = loss_cfg.get('loop_loss_weight', 1.0)
 
-    print(f'parity_check::training the torch reference recipe '
-          f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
-
     # best-validation model selection for BOTH stacks — the reference
     # recipe's 'best' checkpoint (nn/trainer.py:214-219); point-estimating
     # noisy metrics at whatever params the LAST step left would blur the
@@ -218,12 +228,10 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
             print(f'parity_check::torch step {step}/{total_steps} '
                   f'loss={loss:.5f}', flush=True)
 
-    torch_hist = train_reference_torch(replica, epoch_batches, schedule,
-                                       pad_vector, loop_weight=loop_w,
-                                       on_step=progress,
-                                       valid_batches=valid_batches)
-
-    print('parity_check::training this framework on the same batches')
+    # JAX first: on a shared/tunneled TPU an idle client can be preempted by
+    # another process's client — run our accelerator phase immediately after
+    # backend init instead of after ~an hour of host-side torch training
+    print('parity_check::training this framework on the materialized batches')
     tx = optax.adam(schedule)
     params, stats = variables['params'], variables['batch_stats']
     opt_state = tx.init(params)
@@ -268,6 +276,15 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
 
     params, stats = best[1] if best[1] is not None else (params, stats)
     trained_vars = {'params': params, 'batch_stats': stats}
+    print('parity_check::evaluating our trained model on the test split')
+    ours = eval_metrics(model, trained_vars, wrapper, 'test')
+
+    print(f'parity_check::training the torch reference recipe '
+          f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
+    torch_hist = train_reference_torch(replica, epoch_batches, schedule,
+                                       pad_vector, loop_weight=loop_w,
+                                       on_step=progress,
+                                       valid_batches=valid_batches)
     report['train_loss_first_step'] = {'torch': torch_hist[0],
                                        'ours': jax_hist[0]}
     report['train_loss_last_epoch'] = {
@@ -278,9 +295,8 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
           f"torch={report['train_loss_last_epoch']['torch']:.5f} "
           f"ours={report['train_loss_last_epoch']['ours']:.5f}")
 
-    print('parity_check::evaluating both trained models on the test split '
+    print('parity_check::evaluating the torch model on the test split '
           '(same metric stack)')
-    ours = eval_metrics(model, trained_vars, wrapper, 'test')
     torch_metrics = _torch_eval_metrics(replica, wrapper, model)
     report['trained_shape_metrics'] = {
         k: ours.get(k) for k in SHAPE_METRICS if k in ours}
