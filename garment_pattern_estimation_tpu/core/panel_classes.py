@@ -8,7 +8,6 @@ number of classes drives ``max_pattern_len`` when classification is enabled.
 from __future__ import annotations
 
 import json
-from collections import OrderedDict
 
 import numpy as np
 
@@ -19,7 +18,8 @@ class PanelClasses:
     def __init__(self, classes_file):
         self.filename = str(classes_file)
         with open(classes_file, 'r') as stream:
-            self.classes = json.load(stream, object_pairs_hook=OrderedDict)
+            # plain dict: json.load preserves file order on py3.7+
+            self.classes = json.load(stream)
 
         self.names = list(self.classes)
         # flat lookup: (template, panel) -> class id, file order = index
@@ -29,7 +29,7 @@ class PanelClasses:
             for member in members}
 
     def __len__(self):
-        return len(self.classes)
+        return len(self.names)
 
     def class_idx(self, template, panel):
         """Index of the class the (template, panel) pair belongs to."""
