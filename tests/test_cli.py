@@ -107,6 +107,34 @@ def test_on_test_set_cli(trained_run, cli_env):
     assert preds, 'no prediction folders saved'
 
 
+def test_export_serving_cli(trained_run, cli_env):
+    from garment_pattern_estimation_tpu.cli import export_serving
+    from garment_pattern_estimation_tpu.experiment.serving import (
+        load_serving_artifact)
+    workdir, config_file, config = cli_env
+    exp_config = dict(config)
+    exp_config['experiment'] = {'project_name': 'cli-test', 'run_name': 'quick',
+                                'run_id': trained_run.run_id}
+    exp_file = workdir / 'export.yaml'
+    exp_file.write_text(yaml.safe_dump(exp_config))
+
+    out_dir = workdir / 'serving_artifact'
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        manifest = export_serving.main(
+            ['-c', str(exp_file), '-o', str(out_dir), '--batch', '2',
+             '--system', str(workdir / 'system.json')])
+    finally:
+        os.chdir(cwd)
+
+    assert manifest['input']['shape'] == [2, 60, 3]  # dataset mesh_samples
+    served = load_serving_artifact(out_dir)
+    import numpy as np
+    out = served(np.zeros((2, 60, 3), np.float32))
+    assert out['outlines'].shape[0] == 2
+
+
 def test_predict_per_example_cli(trained_run, cli_env, synthetic_dataset_root):
     from garment_pattern_estimation_tpu.cli import predict_per_example
     workdir, config_file, config = cli_env
