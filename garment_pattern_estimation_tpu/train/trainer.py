@@ -59,6 +59,15 @@ class Trainer:
         self.datawrapper = DatasetWrapper(dataset)
         self.datawrapper.load_split(split_info)
         self.datawrapper.new_loaders(self.setup['batch_size'], shuffle_train=True)
+        workers = dataset.config.get('cache_fill_workers')
+        if workers and workers > 1:
+            # parallel cold-cache preprocessing (C++ mesh ops release the
+            # GIL) — replaces the reference's DataLoader worker processes
+            start = time.time()
+            n = dataset.warm_cache(workers=workers)
+            if n:
+                print(f'Trainer::warmed {n} samples with {workers} workers '
+                      f'in {time.time() - start:.1f} s')
         if self.standardize_data:
             self.datawrapper.standardize_data()
             # standardization may add transforms -> stats now in config

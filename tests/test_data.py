@@ -220,3 +220,39 @@ def test_loader_early_abandon_stops_worker():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= before + 1
+
+
+def test_warm_cache_matches_lazy(synthetic_dataset_root):
+    """Parallel cache warming produces byte-identical features/GT to lazy
+    (per-sample seeds derive from datapoint names, not visit order)."""
+    config = {'data_folders': FOLDERS, 'mesh_samples': 60,
+              'panel_classification': str(synthetic_dataset_root / 'panel_classes.json')}
+    lazy = Garment3DPatternFullDataset(synthetic_dataset_root, dict(config),
+                                       gt_caching=True, feature_caching=True)
+    warm = Garment3DPatternFullDataset(synthetic_dataset_root, dict(config),
+                                       gt_caching=True, feature_caching=True)
+
+    pre_cached = len(warm.feature_cached)  # __init__ shape probe caches one
+    warmed = warm.warm_cache(workers=4)
+    assert warmed == len(warm) - pre_cached
+    assert set(warm.feature_cached) == set(warm.datapoints_names)
+    assert warm.warm_cache(workers=4) == 0  # everything cached -> no-op
+
+    for i in (0, 3, 7, len(lazy) - 1):
+        a, b = lazy[i], warm[i]
+        np.testing.assert_array_equal(np.asarray(a['features']),
+                                      np.asarray(b['features']))
+        for key in a['ground_truth']:
+            np.testing.assert_array_equal(
+                np.asarray(a['ground_truth'][key]),
+                np.asarray(b['ground_truth'][key]), err_msg=key)
+
+
+def test_warm_cache_noop_without_caching(synthetic_dataset_root):
+    ds = Garment3DPatternFullDataset(
+        synthetic_dataset_root,
+        {'data_folders': FOLDERS[:1], 'mesh_samples': 40,
+         'panel_classification': str(synthetic_dataset_root / 'panel_classes.json')},
+        gt_caching=False, feature_caching=False)
+    assert ds.warm_cache(workers=4) == 0
+    assert not ds.feature_cached and not ds.gt_cached
