@@ -30,10 +30,14 @@ CPU_BATCH = 30   # the published recipe's batch size (configs/att.yaml) — the
 CACHE = Path(__file__).parent / '.bench_cpu_baseline.json'
 
 
-def measure_inference(batch, num_points, warmup=1, iters=5,
+def measure_inference(batch, num_points, warmup=1, iters=50,
                       compute_dtype=None):
     """Per-batch forward time with the iteration loop ON DEVICE (one host
     dispatch), so tunnel/dispatch latency doesn't pollute the number.
+    The dispatch+fetch round trip through the tunnel is ~30 ms — measured
+    directly (13.7 ms/batch extrapolated true time vs 19.99 ms at iters=5,
+    15.05 at 25, 14.36 at 50) — so the iteration count must amortize it:
+    at iters=50 the residual overhead is <5% of the reading.
 
     `compute_dtype='bfloat16'` times the mixed-precision serving mode
     (encoder matmuls + fused-EdgeConv gathers in bf16; outputs f32)."""
@@ -63,7 +67,7 @@ def measure_inference(batch, num_points, warmup=1, iters=5,
     return batch / elapsed, elapsed
 
 
-def measure_train_step(batch=30, num_points=2000, steps=20,
+def measure_train_step(batch=30, num_points=2000, steps=50,
                        compute_dtype=None):
     """Published training recipe step time — and, at (128, 10000), the
     stress-config TRAINING step: the chunked rematerialized EdgeConv path
@@ -159,7 +163,7 @@ def _measure_train_step(batch, num_points, steps, compute_dtype=None):
     return step_ms
 
 
-def measure_stress_knn(batch=128, num_points=10000, k=5, iters=3):
+def measure_stress_knn(batch=128, num_points=10000, k=5, iters=10):
     """Stress config: kNN over 128 clouds x 10k points — too large for the
     VMEM-resident kernels, exercises the HBM-streaming double-buffered DMA
     path (ops/knn.py)."""
@@ -184,7 +188,7 @@ def measure_stress_knn(batch=128, num_points=10000, k=5, iters=3):
     return (time.perf_counter() - start) / iters * 1e3
 
 
-def measure_stress_forward(batch=128, num_points=10000, iters=3):
+def measure_stress_forward(batch=128, num_points=10000, iters=10):
     """Stress config full forward (BASELINE.json config 5): att model over
     128 clouds x 10k points through the column-tiled/streaming fused
     EdgeConv kernels — the unfused path OOMs HBM on the (B, N, k, C)
@@ -211,7 +215,7 @@ def measure_stress_forward(batch=128, num_points=10000, iters=3):
 
 
 def measure_mesh_to_prediction(batch=64, num_points=2000, v_cap=4096,
-                               f_cap=8192, iters=5):
+                               f_cap=8192, iters=25):
     """End-to-end mesh -> prediction: the on-device sampling stage
     (area-weighted surface draw + noise + standardization,
     preprocess/device_sampling) fused into the same jit as the flagship

@@ -254,6 +254,16 @@ class Trainer:
         # sized from the wrong steps-per-epoch
         train_loader = self.datawrapper.loaders.train
         valid_loader = self.datawrapper.loaders.validation
+        if len(train_loader) == 0:
+            # the balanced sampler drops partial batches (reference
+            # semantics, nn/data/utils.py:43-44) — a training subset smaller
+            # than one batch yields zero batches, which the reference would
+            # silently "train" on; fail loudly instead
+            raise ValueError(
+                f'Trainer::training subset ({len(self.datawrapper.training)} '
+                f'samples) produces no batches at batch_size='
+                f'{self.datawrapper.batch_size} (partial batches are '
+                'dropped) — lower trainer.batch_size or provide more data')
         tx = self._make_optimizer(len(train_loader))
         # after _start_experiment: a resumed run's restored config decides
         # whether the on-device sampling stage is part of the step

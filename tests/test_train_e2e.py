@@ -126,6 +126,26 @@ def test_resume_from_checkpoint(trained, synthetic_dataset_root):
     assert experiment2.last_epoch() >= 3
 
 
+def test_zero_batch_training_subset_fails_loudly(trained, tmp_path):
+    """Regression: a training subset smaller than one batch yields zero
+    batches (partial batches are dropped, reference semantics) — the trainer
+    must refuse instead of silently 'training' on nothing."""
+    dataset = trained[0]
+    experiment = ExperimentWrappper(
+        {'experiment': {'project_name': 'test-project', 'run_name': 'zero'}},
+        output_root=tmp_path)
+    setup = dict(TRAINER_SETUP, batch_size=4096)
+    trainer = Trainer(setup, experiment, dataset,
+                      {'valid_per_type': 1, 'test_per_type': 1,
+                       'type': 'count', 'random_seed': 10},
+                      with_norm=True, with_visualization=False)
+    trainer.init_randomizer()
+    model = build_model('GarmentSegmentPattern3D', dataset.config, NN_CONFIG,
+                        LOSS_CONFIG, use_pallas=False)
+    with pytest.raises(ValueError, match='produces no batches'):
+        trainer.fit(model)
+
+
 def test_onecycle_schedule_never_nan():
     """Regression: optax's onecycle emits NaN for every step when
     transition_steps <= 3 (tiny-run configs); the trainer clamps it."""
