@@ -50,7 +50,8 @@ class MLP(nn.Module):
     compute_dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, stats_pairs=None):
+    def __call__(self, x, train: bool = False, stats_pairs=None,
+                 edge_pair=None):
         """Standard mode: Dense->ReLU->BN stacks on `x`.
 
         `stats_pairs` mode (x ignored, returns None): drive each BatchNorm's
@@ -59,10 +60,35 @@ class MLP(nn.Module):
         computes the layer math itself but the running averages must keep
         living at their checkpoint-compatible names. Each BN sees a two-row
         tensor [mean - sqrt(var), mean + sqrt(var)] whose batch statistics
-        are exactly (mean, var — biased), so its update rule is untouched."""
+        are exactly (mean, var — biased), so its update rule is untouched.
+
+        `edge_pair` mode (x ignored): the first layer's EdgeConv input
+        [x_i ; x_j - x_i] is supplied factored as (center (..., C),
+        neighbors (..., C), center_broadcast_axis). Algebraically
+        concat(c, n - c) @ W = c @ (W_top - W_bot) + b + n @ W_bot, so the
+        center term is one narrow matmul over points (k-fold fewer rows)
+        and the (..., 2C) concatenated edge tensor — the widest per-edge
+        intermediate of the unfused path — never materializes, in forward
+        or backward. Identical parameters, statistics, and math (up to
+        f32 summation order) to the standard path."""
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         for i, size in enumerate(self.features):
-            if stats_pairs is None:
+            if i == 0 and edge_pair is not None:
+                center, neighbors, bcast_axis = edge_pair
+                dense = nn.Dense(size, dtype=dtype)
+                if self.is_initializing():
+                    # create params at their standard (2C, H) shape
+                    dense(jnp.zeros((1, 2 * center.shape[-1]), center.dtype))
+                p = self.get_variable('params', f'Dense_{i}')
+                W, b = p['kernel'], p['bias']
+                C = center.shape[-1]
+                if dtype is not None:
+                    center, neighbors = center.astype(dtype), neighbors.astype(dtype)
+                    W, b = W.astype(dtype), b.astype(dtype)
+                point_term = center @ (W[:C] - W[C:]) + b        # (..., H)
+                x = jnp.expand_dims(point_term, bcast_axis) + neighbors @ W[C:]
+                x = nn.relu(x)
+            elif stats_pairs is None:
                 x = nn.Dense(size, dtype=dtype)(x)
                 x = nn.relu(x)
             else:
@@ -104,9 +130,11 @@ class EdgeConv(nn.Module):
     train_chunk_size: int | None = None
 
     # the unfused path materializes (B, N, k, W) for the WIDEST W among the
-    # edge input (2C) and every MLP hidden layer; up to ~2 GB that is still
-    # faster than chunked sweeps on a 16 GB chip — past it (the 128x10k
-    # stress config) only the chunked path fits at all
+    # gathered neighbors (C — the 2C edge concat never materializes with
+    # the factored first layer, MLP edge_pair mode) and every MLP hidden
+    # layer; up to ~2 GB that is still faster than chunked sweeps on a
+    # 16 GB chip — past it (the 128x10k stress config) only the chunked
+    # path fits at all
     _CHUNK_TRAIN_BYTES = 1 << 31
 
     @nn.compact
@@ -118,7 +146,7 @@ class EdgeConv(nn.Module):
         if train and not self.is_initializing():
             chunked = self.train_chunked
             if chunked is None:
-                widest = max([2 * C] + list(self.mlp_features))
+                widest = max([C] + list(self.mlp_features))
                 chunked = (B * N * min(self.k, N) * widest * 4
                            > self._CHUNK_TRAIN_BYTES)
             if chunked and self.compute_dtype is None:
@@ -163,7 +191,6 @@ class EdgeConv(nn.Module):
             # the unfused module. Neighbor layout is slot-major (B, k, N, C).
             neighbors, _ = knn_gather(x, min(self.k, N),
                                       jax.default_backend() != 'tpu')
-            center = jnp.broadcast_to(x[:, None, :, :], neighbors.shape)
             k_axis = 1
         else:
             # kNN stays f32: near-tie neighbor ranking is precision-sensitive
@@ -174,15 +201,15 @@ class EdgeConv(nn.Module):
                                 and jax.default_backend() != 'tpu'
                                 else {}))
             neighbors = gather_neighbors(x, idx)                 # (B, N, k, C)
-            center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
             k_axis = 2
-        edge_features = jnp.concatenate([center, neighbors - center], axis=-1)
 
-        # the MLP runs on the 4D (B, k|N, N|k, 2C) tensor directly: Dense
-        # contracts the last axis and BatchNorm reduces the leading axes —
-        # identical statistics to a flattened (B*k*N, 2C) pass without the
-        # reshape fusion barriers on either side of every layer
-        out = mlp(edge_features, train=train)
+        # the edge MLP runs on the 4D (B, k|N, N|k, ·) tensors directly:
+        # Dense contracts the last axis and BatchNorm reduces the leading
+        # axes — identical statistics to a flattened (B*k*N, 2C) pass. The
+        # first layer takes the factored (center, neighbors) form (MLP
+        # edge_pair mode): the concatenated [x_i ; x_j - x_i] tensor — the
+        # widest per-edge intermediate — never materializes
+        out = mlp(None, train=train, edge_pair=(x, neighbors, k_axis))
 
         if self.aggr == 'max':
             return jnp.max(out, axis=k_axis)

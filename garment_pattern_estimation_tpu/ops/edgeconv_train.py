@@ -48,13 +48,27 @@ def _layer_params(mlp_params):
     return layers
 
 
-def _apply_layers(h, layers, stats, upto, eps, final_relu_only=False):
+def _apply_layers(edge_pair, layers, stats, upto, eps, final_relu_only=False):
     """Layers [0, upto): Dense -> ReLU -> BN with the given global stats.
     When `final_relu_only`, layer upto-1 stops after ReLU (its statistics
-    are what the caller is accumulating)."""
+    are what the caller is accumulating).
+
+    `edge_pair` is the (center (B, c, C), neighbors (B, c, k, C)) factored
+    form of the EdgeConv input: layer 0 computes
+    concat(c, n - c) @ W = c @ (W_top - W_bot) + b + n @ W_bot, so the
+    center term is one narrow matmul per chunk row and the (B, c, k, 2C)
+    concatenated edge tensor never materializes in any sweep (mirrors
+    models/blocks.MLP edge_pair mode)."""
+    center, nbr = edge_pair
+    h = None
     for l in range(upto):
         W, b, gamma, beta = layers[l]
-        h = jnp.maximum(h @ W + b, 0.0)
+        if l == 0:
+            C = center.shape[-1]
+            point_term = center @ (W[:C] - W[C:]) + b           # (B, c, H)
+            h = jnp.maximum(point_term[:, :, None, :] + nbr @ W[C:], 0.0)
+        else:
+            h = jnp.maximum(h @ W + b, 0.0)
         if final_relu_only and l == upto - 1:
             return h
         if gamma is not None:
@@ -83,10 +97,11 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
     L = len(layers)
 
     if chunk is None:
-        # size chunks so the WIDEST per-edge tensor (edge input 2C or any
-        # MLP hidden width) stays ~256 MB per sweep step: a handful of
-        # these live concurrently in the rematerialized backward
-        widest = max([2 * C] + [w.shape[1] for w, *_ in layers])
+        # size chunks so the WIDEST per-edge tensor (gathered neighbors C
+        # or any MLP hidden width — the 2C edge concat never materializes
+        # with the factored first layer) stays ~256 MB per sweep step: a
+        # handful of these live concurrently in the rematerialized backward
+        widest = max([C] + [w.shape[1] for w, *_ in layers])
         per_row = B * k * widest * 4
         chunk = max(32, min(N, (1 << 28) // max(per_row, 1)))
     chunk = min(chunk, N)
@@ -111,8 +126,7 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
         idx_c = jax.lax.dynamic_slice_in_dim(idx, start, chunk, axis=1)
         nbr = jnp.take_along_axis(x[:, :, None, :], idx_c[..., None], axis=1)
         center = jax.lax.dynamic_slice_in_dim(x_q, start, chunk, axis=1)
-        center = jnp.broadcast_to(center[:, :, None, :], nbr.shape)
-        return jnp.concatenate([center, nbr - center], axis=-1)
+        return center, nbr                       # factored: see _apply_layers
 
     count = B * N * k
     stats = []

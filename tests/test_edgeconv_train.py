@@ -45,13 +45,15 @@ def test_forward_and_stats_match_unfused(x):
 
 def test_uneven_chunking_matches(x):
     """N=40 with chunk=16 -> padded final chunk: padded rows must not leak
-    into statistics or outputs."""
+    into statistics or outputs. atol sits just above f32 reassociation
+    noise: the unfused path's factored first layer (MLP edge_pair mode)
+    sums the same products in a different order than the chunked sweeps."""
     conv_ref = _conv(False)
     variables = conv_ref.init(jax.random.PRNGKey(1), x, train=True)
     out_ref, mut_ref = _run(conv_ref, variables, x)
     out_chk, mut_chk = _run(_conv(True, chunk=16), variables, x)
     np.testing.assert_allclose(np.asarray(out_chk), np.asarray(out_ref),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-5, atol=5e-6)
     np.testing.assert_allclose(
         np.asarray(mut_chk['batch_stats']['MLP_0']['BatchNorm_1']['var']),
         np.asarray(mut_ref['batch_stats']['MLP_0']['BatchNorm_1']['var']),
@@ -85,7 +87,8 @@ def test_gradients_match_unfused(x):
 
 def test_auto_policy_picks_chunked_only_when_big():
     small = EdgeConv([8], k=3, use_pallas=False)
-    # auto threshold: 128 MB of gathered edges — tiny input stays unfused
-    assert (B * N * 3 * 2 * C * 4) < EdgeConv._CHUNK_TRAIN_BYTES
-    big_edges = 128 * 10000 * 5 * 2 * 150 * 4
+    # widest per-edge tensor with the factored first layer is max(C, MLP
+    # widths) — tiny input stays unfused, the stress config goes chunked
+    assert (B * N * 3 * max(C, 8) * 4) < EdgeConv._CHUNK_TRAIN_BYTES
+    big_edges = 128 * 10000 * 5 * max(150, 200) * 4
     assert big_edges > EdgeConv._CHUNK_TRAIN_BYTES
