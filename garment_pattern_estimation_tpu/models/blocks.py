@@ -189,8 +189,13 @@ class EdgeConv(nn.Module):
             # scatter-add Pallas backward; edge MLP + BatchNorm stay on flax
             # so batch statistics and parameter gradients are identical to
             # the unfused module. Neighbor layout is slot-major (B, k, N, C).
+            # bf16 compute gathers/scatters one truncation chunk (values
+            # round to bf16 in the MLP anyway): half the one-hot MXU work
+            bf16_mode = (self.compute_dtype is not None
+                         and jnp.dtype(self.compute_dtype) == jnp.bfloat16)
             neighbors, _ = knn_gather(x, min(self.k, N),
-                                      jax.default_backend() != 'tpu')
+                                      jax.default_backend() != 'tpu',
+                                      1 if bf16_mode else 2)
             k_axis = 1
         else:
             # kNN stays f32: near-tie neighbor ranking is precision-sensitive

@@ -52,7 +52,7 @@ def knn_gather_supported(n_points):
     return _round_up(n_points, 128) <= _MAX_N_PAD
 
 
-def _fwd_kernel(*refs, k, d_live=None):
+def _fwd_kernel(*refs, k, d_live=None, value_chunks=2):
     """One grid step: k nearest neighbors + their features for TM query rows
     of one batch element.
 
@@ -115,17 +115,21 @@ def _fwd_kernel(*refs, k, d_live=None):
                 nbr = jnp.where(vlane == dim, v, nbr)
             nbr_ref[0, slot] = nbr
         else:
+            # bf16 compute paths gather the top chunk only (values round to
+            # bf16 immediately downstream): half the one-hot MXU work
             nbr_ref[0, slot] = _gather_from_splits(hit.astype(jnp.bfloat16),
-                                                   k_chunks)
+                                                   k_chunks[:value_chunks])
         if slot > 0:
             idx_out = jnp.where(lane == slot, nearest & _IDX_MASK, idx_out)
     idx_ref[0] = idx_out
 
 
-def _bwd_kernel(idx_ref, g_ref, dx_ref, *, k, n_pad):
+def _bwd_kernel(idx_ref, g_ref, dx_ref, *, k, n_pad, value_chunks=2):
     """One grid step: scatter-add TM query rows' neighbor cotangents into the
     batch element's (N_pad, C_pad) gradient block (revisited across query
-    tiles — initialized on the first)."""
+    tiles — initialized on the first). `value_chunks=1` scatters the top
+    bf16 truncation chunk only — exact for bf16-valued cotangents (the bf16
+    compute path), half the transposed one-hot MXU work."""
     tile = pl.program_id(1)
     tile_m = idx_ref.shape[1]
 
@@ -151,7 +155,9 @@ def _bwd_kernel(idx_ref, g_ref, dx_ref, *, k, n_pad):
                 a, b, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=SPLIT_EXACT)
-        contrib = dot_t(hit, g_chunks[0]) + dot_t(hit, g_chunks[1])
+        contrib = dot_t(hit, g_chunks[0])
+        if value_chunks > 1:
+            contrib = contrib + dot_t(hit, g_chunks[1])
         acc = contrib if acc is None else acc + contrib
     if acc is not None:
         dx_ref[0] += acc
@@ -165,7 +171,7 @@ def _pad_points(x, n_pad, c_pad):
     return xp
 
 
-def _fwd_pallas(x, k, interpret):
+def _fwd_pallas(x, k, interpret, value_chunks=2):
     B, N, C = x.shape
     if k > N:
         raise ValueError(f'knn_gather::k={k} exceeds the point count {N} '
@@ -207,7 +213,8 @@ def _fwd_pallas(x, k, interpret):
             q_spec]
 
     nbr, idx = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, d_live=d_live),
+        functools.partial(_fwd_kernel, k=k, d_live=d_live,
+                          value_chunks=value_chunks),
         grid=(B, n_pad // tile_m),
         in_specs=x_specs,
         out_specs=[
@@ -225,7 +232,7 @@ def _fwd_pallas(x, k, interpret):
     return nbr[:, :, :N, :C], idx
 
 
-def _bwd_pallas(idx_padded, g, shape, interpret):
+def _bwd_pallas(idx_padded, g, shape, interpret, value_chunks=2):
     """idx_padded (B, N_pad, 128) from the forward; g = d_nbr (B, k, N, C)."""
     B, N, C = shape
     k = g.shape[1]
@@ -236,7 +243,8 @@ def _bwd_pallas(idx_padded, g, shape, interpret):
                  ((0, 0), (0, 0), (0, n_pad - N), (0, c_pad - C)))
 
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, n_pad=n_pad),
+        functools.partial(_bwd_kernel, k=k, n_pad=n_pad,
+                          value_chunks=value_chunks),
         grid=(B, n_pad // tile_m),
         in_specs=[
             pl.BlockSpec((1, tile_m, _LANES), lambda b, i: (b, i, 0),
@@ -252,8 +260,8 @@ def _bwd_pallas(idx_padded, g, shape, interpret):
     return dx[:, :N, :C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def knn_gather(x, k, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def knn_gather(x, k, interpret=False, value_chunks=2):
     """(B, N, C) -> (neighbors (B, k, N, C), indices (B, N, k)).
 
     Neighbor selection matches `ops.knn` semantics (self included, squared
@@ -261,23 +269,30 @@ def knn_gather(x, k, interpret=False):
     quantization (top 21 mantissa-exponent bits — same deviation as the
     fused inference kernel, PARITY.md). Differentiable in the gathered
     values; the graph itself is a constant of the VJP. Requires k <= N
-    (clamp at the call site: the slot count shapes downstream arrays)."""
-    nbr, idx_padded = _fwd_pallas(x, k, interpret)
+    (clamp at the call site: the slot count shapes downstream arrays).
+
+    `value_chunks=1` gathers/scatters the top bf16 truncation chunk only —
+    for bf16 compute paths, where values round to bf16 immediately
+    downstream and cotangents arrive bf16-valued, at half the one-hot MXU
+    work per direction. Ranking precision is unaffected (distances always
+    use the full split). No effect on the small-C (<=16) per-dim exact
+    path."""
+    nbr, idx_padded = _fwd_pallas(x, k, interpret, value_chunks)
     return nbr, idx_padded[:, :x.shape[1], :k]
 
 
-def _knn_gather_fwd(x, k, interpret):
-    nbr, idx_padded = _fwd_pallas(x, k, interpret)
+def _knn_gather_fwd(x, k, interpret, value_chunks):
+    nbr, idx_padded = _fwd_pallas(x, k, interpret, value_chunks)
     # zero-size carrier records the primal dtype (dtype objects are not
     # valid residual leaves)
     return (nbr, idx_padded[:, :x.shape[1], :k]), (
         idx_padded, x.shape, jnp.zeros((0,), x.dtype))
 
 
-def _knn_gather_bwd(k, interpret, residuals, cotangents):
+def _knn_gather_bwd(k, interpret, value_chunks, residuals, cotangents):
     idx_padded, shape, dtype_carrier = residuals
     d_nbr, _ = cotangents  # integer index cotangent is symbolic-zero
-    dx = _bwd_pallas(idx_padded, d_nbr, shape, interpret)
+    dx = _bwd_pallas(idx_padded, d_nbr, shape, interpret, value_chunks)
     # the scatter-add accumulates in f32; hand back the primal's dtype so
     # bf16 inputs (compute_dtype paths) differentiate cleanly
     return (dx.astype(dtype_carrier.dtype),)
@@ -286,7 +301,7 @@ def _knn_gather_bwd(k, interpret, residuals, cotangents):
 knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
 
 
-def knn_gather_reference(x, k):
+def knn_gather_reference(x, k, value_chunks=2):
     """Pure-jnp oracle with the kernel's exact selection numerics (packed
     quantized distances); XLA autodiff of this is the gradient oracle."""
     B, N, C = x.shape
@@ -306,10 +321,12 @@ def knn_gather_reference(x, k):
         cross = _oracle_cross(chunks)
         dists = jnp.maximum(
             q_norm[:, :, None] + q_norm[:, None, :] - 2 * cross, 0.0)
-        # the kernel gathers the top two split chunks; the truncation is
-        # bitwise ops (zero autodiff), so re-attach an identity gradient —
-        # the kernel's VJP likewise scatters the full cotangent
-        x_rec = xf + jax.lax.stop_gradient(chunks[0] + chunks[1] - xf)
+        # the kernel gathers the top `value_chunks` split chunks; the
+        # truncation is bitwise ops (zero autodiff), so re-attach an
+        # identity gradient — the kernel's VJP likewise scatters the full
+        # cotangent
+        rec = sum(chunks[:value_chunks])
+        x_rec = xf + jax.lax.stop_gradient(rec - xf)
     bits = jax.lax.bitcast_convert_type(dists, jnp.int32)
     col = jnp.arange(N, dtype=jnp.int32)
     packed = (bits & ~_IDX_MASK) | col[None, None, :]

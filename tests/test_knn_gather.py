@@ -24,6 +24,33 @@ def test_forward_matches_oracle(rng, n_points, c):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_single_chunk_mode_matches_oracle(rng):
+    """value_chunks=1 (bf16 compute paths): forward values are the top
+    truncation chunk, gradients scatter that chunk of the cotangent —
+    both within bf16 rounding of the exact oracle, selection identical."""
+    x = jnp.asarray(rng.normal(size=(2, 120, 24)).astype(np.float32))
+    nbr_ref, idx_ref = knn_gather_reference(x, 5, value_chunks=1)
+    nbr, idx = knn_gather(x, 5, True, 1)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(nbr), np.asarray(nbr_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    w = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+
+    def loss(fn, chunks):
+        def f(v):
+            nbr, _ = (fn(v, 4, True, chunks) if fn is knn_gather
+                      else fn(v, 4, value_chunks=chunks))
+            return jnp.sum(jnp.tanh(nbr @ w) ** 2)
+        return f
+
+    g = jax.grad(loss(knn_gather, 1))(x)
+    g_ref = jax.grad(loss(knn_gather_reference, 1))(x)
+    # single-chunk scatter rounds cotangents to bf16: ~2^-8 relative
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_self_is_first_neighbor(rng):
     x = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
     _, idx = knn_gather(x, 3, True)
