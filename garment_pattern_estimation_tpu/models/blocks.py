@@ -70,12 +70,35 @@ class MLP(nn.Module):
         and the (..., 2C) concatenated edge tensor — the widest per-edge
         intermediate of the unfused path — never materializes, in forward
         or backward. Identical parameters, statistics, and math (up to
-        f32 summation order) to the standard path."""
+        f32 summation order) to the standard path.
+
+        Non-final BatchNorms are FOLDED into the next layer's weights at
+        runtime: with a = scale * rsqrt(var + eps), d = bias - mean * a,
+        BN(r) @ W + b == r @ (a * W) + (d @ W + b) — the normalized
+        (..., H) tensor never materializes (the train-mode analog of the
+        fused eval kernel's fold_mlp_bn). Batch statistics (train) come
+        from an explicit f32 reduction over the relu output; running
+        averages update through the BN module itself, so variable names,
+        shapes, and update rules are untouched. Same math as stacked flax
+        Dense->ReLU->BN up to f32 summation order."""
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        eps = 1e-5
+        fold = (self.batch_norm and stats_pairs is None
+                and not self.is_initializing())
+        pending = None                     # previous layer's deferred (a, d)
         for i, size in enumerate(self.features):
+            dense = nn.Dense(size, dtype=dtype)
+            bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=eps, dtype=dtype) \
+                if self.batch_norm else None
+            if stats_pairs is not None:
+                mean, var = stats_pairs[i]
+                spread = jnp.sqrt(jnp.maximum(var, 0.0))
+                bn(jax.lax.stop_gradient(
+                    jnp.stack([mean - spread, mean + spread])))
+                continue
             if i == 0 and edge_pair is not None:
                 center, neighbors, bcast_axis = edge_pair
-                dense = nn.Dense(size, dtype=dtype)
                 if self.is_initializing():
                     # create params at their standard (2C, H) shape
                     dense(jnp.zeros((1, 2 * center.shape[-1]), center.dtype))
@@ -87,22 +110,49 @@ class MLP(nn.Module):
                     W, b = W.astype(dtype), b.astype(dtype)
                 point_term = center @ (W[:C] - W[C:]) + b        # (..., H)
                 x = jnp.expand_dims(point_term, bcast_axis) + neighbors @ W[C:]
-                x = nn.relu(x)
-            elif stats_pairs is None:
-                x = nn.Dense(size, dtype=dtype)(x)
-                x = nn.relu(x)
+            elif pending is not None:
+                p = self.get_variable('params', f'Dense_{i}')
+                W, b = p['kernel'], p['bias']
+                a, d = pending
+                pending = None
+                w_fold = a[:, None] * W                          # exact f32
+                b_fold = jnp.dot(d, W,
+                                 precision=jax.lax.Precision.HIGHEST) + b
+                if dtype is not None:
+                    x, w_fold, b_fold = (x.astype(dtype), w_fold.astype(dtype),
+                                         b_fold.astype(dtype))
+                x = x @ w_fold + b_fold
             else:
-                nn.Dense(size, dtype=dtype)  # keep auto-name counters aligned
-            if self.batch_norm:
-                bn = nn.BatchNorm(use_running_average=not train,
-                                  momentum=0.9, epsilon=1e-5, dtype=dtype)
-                if stats_pairs is None:
-                    x = bn(x)
-                else:
-                    mean, var = stats_pairs[i]
-                    spread = jnp.sqrt(jnp.maximum(var, 0.0))
-                    bn(jax.lax.stop_gradient(
-                        jnp.stack([mean - spread, mean + spread])))
+                x = dense(x)
+            x = nn.relu(x)
+            if bn is None:
+                continue
+            if not fold:
+                x = bn(x)
+                continue
+            bn_params = self.get_variable('params', f'BatchNorm_{i}')
+            gamma, beta = bn_params['scale'], bn_params['bias']
+            if train:
+                xf = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean),
+                    0.0)                   # biased, flax BatchNorm semantics
+                spread = jnp.sqrt(var)
+                bn(jax.lax.stop_gradient(   # running-average update only
+                    jnp.stack([mean - spread, mean + spread])))
+            else:
+                stats = self.get_variable('batch_stats', f'BatchNorm_{i}')
+                mean, var = stats['mean'], stats['var']
+            a = gamma * jax.lax.rsqrt(var + eps)
+            d = beta - mean * a
+            if i + 1 < len(self.features):
+                pending = (a, d)           # fold into the next layer
+            else:
+                x = x.astype(jnp.float32) * a + d               # final affine
+                if dtype is not None:
+                    x = x.astype(dtype)
         return None if stats_pairs is not None else x
 
 
