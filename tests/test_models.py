@@ -250,3 +250,50 @@ def test_alternative_encoders_build_and_run(extractor, features):
     preds = model.apply(variables, features, train=False)
     assert preds['outlines'].shape == (B, 5, 6, 4)
     assert np.isfinite(np.asarray(preds['outlines'])).all()
+
+
+class _PlainStack(__import__('flax').linen.Module):
+    """Literal flax Dense->ReLU->BN stack: the oracle for MLP's folded
+    evaluation (runtime BN folding + factored/edge modes must be pure
+    reformulations of this)."""
+    features: tuple
+
+    @__import__('flax').linen.compact
+    def __call__(self, x, train=False):
+        nn = __import__('flax').linen
+        for size in self.features:
+            x = nn.Dense(size)(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5)(x)
+        return x
+
+
+@pytest.mark.parametrize('train', [True, False])
+def test_mlp_bn_folding_matches_plain_stack(train):
+    """MLP folds non-final BNs into the next layer's weights at runtime;
+    outputs and running-statistics updates must match the literal stacked
+    module (identical variable trees) to f32 reassociation noise."""
+    from garment_pattern_estimation_tpu.models.blocks import MLP
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(6, 40, 24)).astype(np.float32))
+    plain = _PlainStack((32, 32, 16))
+    folded = MLP([32, 32, 16])
+    variables = plain.init(jax.random.PRNGKey(0), x, train=True)
+    assert (jax.tree_util.tree_structure(variables) ==
+            jax.tree_util.tree_structure(
+                folded.init(jax.random.PRNGKey(0), x, train=True)))
+
+    kwargs = dict(mutable=['batch_stats']) if train else {}
+    out_p = plain.apply(variables, x, train=train, **kwargs)
+    out_f = folded.apply(variables, x, train=train, **kwargs)
+    if train:
+        out_p, mut_p = out_p
+        out_f, mut_f = out_f
+        for a, b in zip(jax.tree_util.tree_leaves(mut_f),
+                        jax.tree_util.tree_leaves(mut_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=1e-4, atol=1e-5)
