@@ -294,6 +294,12 @@ class EdgeConvFeatures(nn.Module):
     pool_ratio: float = 0.1
     use_pallas: bool | None = None
     compute_dtype: str | None = None
+    # precision islands under bf16 compute: conv layer ids kept at f32.
+    # Rationale: conv0 ingests raw (standardized) geometry, where bf16
+    # rounding is ~40% relative noise on the x_j - x_i neighbor differences
+    # of nearby points; its matmuls are narrow (C=3) and extraction-bound,
+    # so f32 there costs little while the wide conv1 MXU work stays bf16
+    f32_conv_layers: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, positions, pool_global: bool = True, train: bool = False):
@@ -310,9 +316,11 @@ class EdgeConvFeatures(nn.Module):
         for conv_id in range(self.conv_depth):
             mlp_sizes = [hidden_by_layer[conv_id]] * self.econv_hidden_depth \
                         + [features_by_layer[conv_id]]
+            conv_dtype = (None if conv_id in tuple(self.f32_conv_layers)
+                          else self.compute_dtype)
             out = EdgeConv(mlp_sizes, k=min(self.k_neighbors, out.shape[1]),
                            aggr=self.econv_aggr, use_pallas=self.use_pallas,
-                           compute_dtype=self.compute_dtype,
+                           compute_dtype=conv_dtype,
                            name=f'conv{conv_id}')(out, train=train)
             if self.graph_pooling:
                 if self.skip_connections:

@@ -64,6 +64,10 @@ class GarmentFullPattern3DModule(nn.Module):
     pool_ratio: float = 0.1
     use_pallas: bool | None = None
     compute_dtype: str | None = None   # e.g. 'bfloat16' for the encoder MLPs
+    # conv layer ids exempted from compute_dtype (kept f32) — the
+    # placement-safe mixed-precision mode keeps conv0 (raw-geometry layer)
+    # exact while the wide conv1 matmuls ride the MXU in bf16
+    f32_conv_layers: tuple = ()
 
     def setup(self):
         self.encoder = self._make_encoder()
@@ -93,6 +97,7 @@ class GarmentFullPattern3DModule(nn.Module):
                 skip_connections=self.skip_connections,
                 graph_pooling=self.graph_pooling, pool_ratio=self.pool_ratio,
                 use_pallas=self.use_pallas, compute_dtype=self.compute_dtype,
+                f32_conv_layers=self.f32_conv_layers,
                 name='feature_extractor')
         if self.feature_extractor == 'EdgeConvPoolingFeatures':
             return encoder_cls(

@@ -105,6 +105,9 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
     nn_config = dict(nn_config or {})
     nn_config.pop('loss', None)  # loss section travels separately
     compute_dtype = compute_dtype or nn_config.pop('compute_dtype', None)
+    # precision islands: conv layer ids kept f32 under bf16 compute
+    # (NN.f32_conv_layers: [0] = the placement-safe mixed-precision mode)
+    f32_conv_layers = tuple(nn_config.pop('f32_conv_layers', ()) or ())
     loss_config = dict(loss_config or {})
 
     if model_name in ('GarmentFullPattern3D', 'GarmentSegmentPattern3D'):
@@ -131,6 +134,7 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
             translation_size=data_config['translation_size'],
             use_pallas=use_pallas,
             compute_dtype=compute_dtype,
+            f32_conv_layers=f32_conv_layers,
         )
         for key, value in config.items():
             field = _FIELD_MAP.get(key, key)

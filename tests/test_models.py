@@ -297,3 +297,37 @@ def test_mlp_bn_folding_matches_plain_stack(train):
                                        rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('train', [True, False])
+def test_f32_conv_layers_precision_island(train):
+    """`f32_conv_layers` exempts conv layers from bf16 compute: with every
+    conv exempted the encoder's per-point features are bit-identical to the
+    all-f32 module (same params), and exempting only conv0 changes the
+    output vs full bf16 (the knob actually gates the layer)."""
+    from garment_pattern_estimation_tpu.models.blocks import EdgeConvFeatures
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 48, 3)).astype(np.float32))
+    kw = dict(out_size=16, conv_depth=2, k_neighbors=4, econv_hidden=16,
+              econv_feature=12, skip_connections=True, use_pallas=False)
+
+    f32 = EdgeConvFeatures(**kw)
+    all_exempt = EdgeConvFeatures(compute_dtype='bfloat16',
+                                  f32_conv_layers=(0, 1), **kw)
+    conv0_only = EdgeConvFeatures(compute_dtype='bfloat16',
+                                  f32_conv_layers=(0,), **kw)
+    full_bf16 = EdgeConvFeatures(compute_dtype='bfloat16', **kw)
+
+    variables = f32.init(jax.random.PRNGKey(0), x, train=True)
+    kwargs = dict(mutable=['batch_stats']) if train else {}
+
+    def points(module):
+        out = module.apply(variables, x, pool_global=False, train=train,
+                           **kwargs)
+        (_, pts, _) = out[0] if train else out
+        return np.asarray(pts)
+
+    np.testing.assert_array_equal(points(all_exempt), points(f32))
+    assert points(conv0_only).dtype == np.float32
+    assert np.abs(points(conv0_only) - points(full_bf16)).max() > 0
