@@ -28,6 +28,13 @@ def get_values_from_args(argv=None):
     parser.add_argument('-st', '--stitch_config', type=str, default='')
     parser.add_argument('--pred_path', type=str, default='')
     parser.add_argument('-corr', '--correct_panels', action='store_true')
+    parser.add_argument('--filetag', type=str, default='sim',
+                        help="mesh variant to evaluate on ('sim' or 'scan' — "
+                             'the scan-imitation robustness axis; the '
+                             'reference hardcodes this override, '
+                             'on_test_set.py:69)')
+    parser.add_argument('--point_noise', type=float, default=0.0,
+                        help='sampling noise width for the eval pass')
     parser.add_argument('--system', type=str, default='./system.json')
     args = parser.parse_args(argv)
     shape_config = load_yaml(args.shape_config)
@@ -40,6 +47,8 @@ def main(argv=None):
     shape_config, stitch_config, args = get_values_from_args(argv)
     system_info = system_properties(args.system)
     tag = 'unseen' if args.unseen else 'test'
+    if args.filetag != 'sim':
+        tag = f'{tag}_{args.filetag}'   # e.g. test_scan — don't clobber sim stats
 
     shape_prediction_path = None
     if not args.pred_path:
@@ -50,7 +59,9 @@ def main(argv=None):
         if args.unseen and (data_root / 'test').exists():
             data_root = data_root / 'test'
         shape_dataset, shape_wrapper = shape_experiment.load_dataset(
-            data_root, {'obj_filetag': 'sim', 'point_noise_w': 0}, unseen=args.unseen)
+            data_root,
+            {'obj_filetag': args.filetag, 'point_noise_w': args.point_noise},
+            unseen=args.unseen)
         shape_model, shape_variables = shape_experiment.load_model(shape_dataset.config)
 
         section = 'full' if args.unseen else 'test'

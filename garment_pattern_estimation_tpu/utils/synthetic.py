@@ -61,7 +61,13 @@ def _trapezoid_panel(top_width, bottom_width, height, n_side_splits=0):
 
 
 TEMPLATES = {
-    # name -> list of (panel_name, builder kwargs, rotation deg, translation fn(rng))
+    # name -> list of (panel_name, builder kwargs, rotation deg, translation
+    # fn(rng)[, class_role]) — class_role (default: panel_name) is the panel
+    # class the panel maps to in panel_classes_for_templates. The UNSEEN
+    # templates reuse ONLY class roles that the seen templates define, so a
+    # model trained on seen types can represent them (the reference's unseen
+    # types map onto the shared class set the same way —
+    # reference models/att/att.yaml:27-34, nn/data/panel_classes.py)
     'tee': {
         'panels': [
             ('front', dict(kind='quad', width=44, height=55, curve_top=0.12), [0, 0, 0], [0, 20, 12]),
@@ -108,7 +114,37 @@ TEMPLATES = {
             (('hood', 0), ('jback', 2)),
         ],
     },
+    # -------- UNSEEN templates (generalization eval, never trained on) ----
+    # tall flared trapezoid bodice — the unseen silhouette is new, the class
+    # roles (front/back) are not
+    'dress': {
+        'unseen': True,
+        'panels': [
+            ('dfront', dict(kind='trapezoid', top_width=40, bottom_width=68, height=95), [0, 0, 0], [0, -20, 11], 'front'),
+            ('dback', dict(kind='trapezoid', top_width=42, bottom_width=70, height=96), [0, 180, 0], [0, -20, -11], 'back'),
+        ],
+        'stitches': [
+            (('dfront', 0), ('dback', 2)),   # right side seam
+            (('dfront', 2), ('dback', 0)),   # left side seam
+        ],
+    },
+    # sleeveless short bodice — tee-like classes without the sleeve panels
+    'vest': {
+        'unseen': True,
+        'panels': [
+            ('vfront', dict(kind='quad', width=40, height=45, curve_top=0.18), [0, 0, 0], [0, 25, 11], 'front'),
+            ('vback', dict(kind='quad', width=42, height=46, curve_top=0.10), [0, 180, 0], [0, 25, -11], 'back'),
+        ],
+        'stitches': [
+            (('vfront', 1), ('vback', 3)),
+            (('vfront', 3), ('vback', 1)),
+        ],
+    },
 }
+
+#: templates excluded from the default (training) folder set — used by the
+#: `--unseen` generalization demo (reference: on_test_set.py:55-126)
+UNSEEN_TEMPLATES = tuple(n for n, t in TEMPLATES.items() if t.get('unseen'))
 
 
 def make_pattern(template_name, rng, panel_classifier=None):
@@ -118,7 +154,7 @@ def make_pattern(template_name, rng, panel_classifier=None):
     scale_jitter = 1.0 + 0.2 * (rng.random() - 0.5)
 
     panel_order = []
-    for panel_name, kwargs, rotation, translation in tpl['panels']:
+    for panel_name, kwargs, rotation, translation, *_ in tpl['panels']:
         kwargs = dict(kwargs)
         kind = kwargs.pop('kind')
         for key in ('width', 'height', 'top_width', 'bottom_width'):
@@ -228,9 +264,12 @@ def write_obj(path, verts, faces):
 
 # ---------------- dataset assembly ----------------
 
-def generate_datapoint(out_dir, template_name, rng, panel_classifier=None, name=None):
+def generate_datapoint(out_dir, template_name, rng, panel_classifier=None,
+                       name=None, with_scan=False):
     """One datapoint folder: specification.json + <name>_sim.obj +
-    <name>_sim_segmentation.txt."""
+    <name>_sim_segmentation.txt (+ optionally the scan-imitation variant —
+    the reference dataset ships `*_scan_imitation.obj` meshes selected via
+    `dataset.obj_filetag: scan`, reference docs/Running.md:27-28)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     pattern = make_pattern(template_name, rng, panel_classifier=panel_classifier)
@@ -246,16 +285,30 @@ def generate_datapoint(out_dir, template_name, rng, panel_classifier=None, name=
         labels[idx] = 'stitch'
     write_obj(out_dir / f'{pattern.name}_sim.obj', verts, faces)
     (out_dir / f'{pattern.name}_sim_segmentation.txt').write_text('\n'.join(labels) + '\n')
+
+    if with_scan:
+        # scan imitation: per-vertex sensor noise + face dropout (holes where
+        # a scanner saw nothing). Vertex count is unchanged, so the sim
+        # segmentation labels stay valid for the scan mesh.
+        scan_verts = verts + rng.normal(scale=0.4, size=verts.shape)
+        keep = rng.random(len(faces)) > 0.25
+        write_obj(out_dir / f'{pattern.name}_scan_imitation.obj',
+                  scan_verts, faces[keep])
+        (out_dir / f'{pattern.name}_scan_imitation_segmentation.txt'
+         ).write_text('\n'.join(labels) + '\n')
     return pattern
 
 
 def generate_dataset(root, folders=None, samples_per_folder=6, seed=0,
-                     with_failures=True):
+                     with_failures=True, with_scan=False):
     """A multi-folder synthetic dataset in the reference's layout.
 
-    `folders`: dict folder_name -> template_name. Writes per-folder
-    `dataset_properties.json` with the fields the dataset layer consumes
-    (templates path, to_subfolders, sim fail lists)."""
+    `folders`: dict folder_name -> template_name (the default covers the
+    SEEN templates only; add e.g. ``{'dress_synth_300': 'dress'}`` for the
+    unseen-type eval folders). Writes per-folder `dataset_properties.json`
+    with the fields the dataset layer consumes (templates path,
+    to_subfolders, sim fail lists). ``with_scan`` additionally emits
+    `*_scan_imitation.obj` meshes for the `obj_filetag: scan` axis."""
     if folders is None:
         folders = {
             'tee_synth_300': 'tee',
@@ -270,7 +323,8 @@ def generate_dataset(root, folders=None, samples_per_folder=6, seed=0,
         names = []
         for i in range(samples_per_folder):
             name = f'{template}_{i:05d}'
-            generate_datapoint(folder_dir / name, template, rng, name=name)
+            generate_datapoint(folder_dir / name, template, rng, name=name,
+                               with_scan=with_scan)
             names.append(name)
 
         fails = {'intersections': [], 'missing': []}
@@ -290,11 +344,14 @@ def generate_dataset(root, folders=None, samples_per_folder=6, seed=0,
 
 def panel_classes_for_templates(path=None):
     """Panel-classification JSON covering the synthetic templates (one class
-    per distinct panel role)."""
+    per distinct panel ROLE — unseen templates' panels join the classes the
+    seen templates define, so the class count is unchanged by them)."""
     classes = {}
     for template_name, tpl in TEMPLATES.items():
-        for panel_name, *_ in tpl['panels']:
-            classes.setdefault(panel_name, []).append([template_name, panel_name])
+        for spec in tpl['panels']:
+            panel_name = spec[0]
+            role = spec[4] if len(spec) > 4 else panel_name
+            classes.setdefault(role, []).append([template_name, panel_name])
     if path is not None:
         with open(path, 'w') as f:
             json.dump(classes, f, indent=2)
