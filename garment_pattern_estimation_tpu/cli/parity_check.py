@@ -60,8 +60,16 @@ def get_args(argv=None):
                         help='TRAIN both stacks (torch reference recipe vs '
                              'this framework) from the same init on the same '
                              'batches and compare converged test metrics')
+    parser.add_argument('--stitch_train_cross_check', action='store_true',
+                        help='TRAIN the torch stitch pair classifier '
+                             '(reference recipe) AND our stitch stack from '
+                             'the same init on the same pair batches; '
+                             'compare converged stitch P/R/F1 + pair '
+                             'accuracy (stage-2 counterpart of '
+                             '--torch_train_cross_check)')
     parser.add_argument('--train_epochs', type=int, default=40,
-                        help='epochs for --torch_train_cross_check')
+                        help='epochs for --torch_train_cross_check / '
+                             '--stitch_train_cross_check')
     parser.add_argument('--train_seed', type=int, default=0)
     parser.add_argument('--noise_floor', action='store_true',
                         help='with --torch_train_cross_check: train extra '
@@ -106,9 +114,27 @@ def _build_shape_stack(args, load_checkpoint=True):
 
 
 def _replica_from_config(config, dataset):
-    from ..experiment.torch_reference import TorchGarmentSegmentPattern3D
+    from ..experiment.torch_reference import (
+        TorchGarmentFullPattern3D, TorchGarmentSegmentPattern3D)
 
     nn_cfg = config['NN']
+    if nn_cfg.get('model', 'GarmentSegmentPattern3D') == 'GarmentFullPattern3D':
+        return TorchGarmentFullPattern3D(
+            max_pattern_len=dataset.config['max_pattern_len'],
+            max_panel_len=dataset.config['max_panel_len'],
+            element_size=dataset.config['element_size'],
+            panel_encoding_size=nn_cfg.get('panel_encoding_size', 250),
+            panel_hidden_size=nn_cfg.get('panel_hidden_size', 250),
+            panel_n_layers=nn_cfg.get('panel_n_layers', 3),
+            pattern_encoding_size=nn_cfg.get('pattern_encoding_size', 250),
+            pattern_hidden_size=nn_cfg.get('pattern_hidden_size', 250),
+            pattern_n_layers=nn_cfg.get('pattern_n_layers', 2),
+            econv_hidden=nn_cfg.get('EConv_hidden', 200),
+            econv_hidden_depth=nn_cfg.get('EConv_hidden_depth', 2),
+            econv_feature=nn_cfg.get('EConv_feature', 150),
+            k_neighbors=nn_cfg.get('k_neighbors', 5),
+            conv_depth=nn_cfg.get('conv_depth', 2),
+            skip_connections=nn_cfg.get('skip_connections', True))
     return TorchGarmentSegmentPattern3D(
         max_pattern_len=dataset.config['max_pattern_len'],
         max_panel_len=dataset.config['max_panel_len'],
@@ -179,13 +205,21 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
 
     loss_cfg = model.loss.config
     unsupported = [c for c in loss_cfg['loss_components']
-                   if c not in ('shape', 'loop', 'rotation', 'translation')]
+                   if c not in ('shape', 'loop', 'rotation', 'translation',
+                                'stitch', 'free_class')]
     if unsupported or loss_cfg.get('panel_order_inariant_loss') \
             or loss_cfg.get('panel_origin_invariant_loss'):
         raise NotImplementedError(
-            'parity_check::--torch_train_cross_check replicates the published '
-            f'att recipe (shape/loop/rotation/translation, no order or origin '
-            f'matching); config asks for {loss_cfg["loss_components"]}')
+            'parity_check::--torch_train_cross_check replicates the reference '
+            'recipes without order/origin GT matching (components among '
+            'shape/loop/rotation/translation/stitch/free_class); config asks '
+            f'for {loss_cfg["loss_components"]}')
+    has_stitch_terms = any(c in loss_cfg['loss_components']
+                           for c in ('stitch', 'free_class'))
+    # the mid-training loss-structure change (stitch terms join at this
+    # epoch — reference nn/metrics/composed_loss.py:259-265)
+    epoch_with_stitches = loss_cfg.get('epoch_with_stitches', 40) \
+        if has_stitch_terms else None
 
     # one materialized batch sequence consumed by BOTH stacks
     train_loader = wrapper.loaders.train
@@ -236,13 +270,17 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
     params, stats = variables['params'], variables['batch_stats']
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, stats, opt_state, batch):
+    from functools import partial
+
+    # `epoch` is static (the loss STRUCTURE changes with it); feed only the
+    # two phase representatives so jit compiles at most twice
+    @partial(jax.jit, static_argnums=(4,))
+    def step(params, stats, opt_state, batch, epoch):
         def loss_fn(p):
             preds, mutated = model.module.apply(
                 {'params': p, 'batch_stats': stats}, batch['features'],
                 train=True, mutable=['batch_stats'])
-            loss, _, _ = model.loss(preds, batch['ground_truth'], epoch=0)
+            loss, _, _ = model.loss(preds, batch['ground_truth'], epoch=epoch)
             return loss, mutated['batch_stats']
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -250,26 +288,30 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, new_opt, loss
 
-    @jax.jit
-    def val_loss(params, stats, batch):
+    @partial(jax.jit, static_argnums=(3,))
+    def val_loss(params, stats, batch, epoch):
         preds = model.module.apply({'params': params, 'batch_stats': stats},
                                    batch['features'], train=False)
-        loss, _, _ = model.loss(preds, batch['ground_truth'], epoch=0)
+        loss, _, _ = model.loss(preds, batch['ground_truth'], epoch=epoch)
         return loss
 
     placed_valid = [jax.tree_util.tree_map(jnp.asarray, b)
                     for b in valid_batches]
     jax_hist = []
     best = (float('inf'), None)
-    for batches in epoch_batches:
+    for epoch, batches in enumerate(epoch_batches):
+        phase = 0 if (epoch_with_stitches is None
+                      or epoch < epoch_with_stitches) else epoch_with_stitches
+        if epoch == epoch_with_stitches:
+            best = (float('inf'), None)  # loss structure changed: reset best
         pending = []
         for batch in batches:
             placed = jax.tree_util.tree_map(jnp.asarray, batch)
             params, stats, opt_state, loss = step(params, stats, opt_state,
-                                                  placed)
+                                                  placed, phase)
             pending.append(loss)
         jax_hist += [float(v) for v in jax.device_get(pending)]
-        val = float(np.mean([float(val_loss(params, stats, b))
+        val = float(np.mean([float(val_loss(params, stats, b, phase))
                              for b in placed_valid]))
         if val < best[0]:
             best = (val, jax.tree_util.tree_map(np.asarray, (params, stats)))
@@ -281,10 +323,12 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
 
     print(f'parity_check::training the torch reference recipe '
           f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
-    torch_hist = train_reference_torch(replica, epoch_batches, schedule,
-                                       pad_vector, loop_weight=loop_w,
-                                       on_step=progress,
-                                       valid_batches=valid_batches)
+    torch_hist = train_reference_torch(
+        replica, epoch_batches, schedule, pad_vector, loop_weight=loop_w,
+        on_step=progress, valid_batches=valid_batches,
+        epoch_with_stitches=epoch_with_stitches,
+        stitch_margin=loss_cfg.get('stitch_tags_margin', 0.3),
+        use_hardnet=loss_cfg.get('stitch_hardnet_version', False))
     report['train_loss_first_step'] = {'torch': torch_hist[0],
                                        'ours': jax_hist[0]}
     report['train_loss_last_epoch'] = {
@@ -298,10 +342,13 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
     print('parity_check::evaluating the torch model on the test split '
           '(same metric stack)')
     torch_metrics = _torch_eval_metrics(replica, wrapper, model)
+    metric_keys = SHAPE_METRICS + (
+        ('stitch_precision', 'stitch_recall', 'free_edge_acc')
+        if has_stitch_terms else ())
     report['trained_shape_metrics'] = {
-        k: ours.get(k) for k in SHAPE_METRICS if k in ours}
+        k: ours.get(k) for k in metric_keys if k in ours}
     report['torch_trained_metrics'] = {
-        k: torch_metrics.get(k) for k in SHAPE_METRICS if k in torch_metrics}
+        k: torch_metrics.get(k) for k in metric_keys if k in torch_metrics}
 
     floors = None
     if args.noise_floor:
@@ -317,28 +364,224 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
                   f'({extra}/{args.noise_seeds})')
             torch.manual_seed(seed)
             replica_n = _replica_from_config(config, dataset)
-            train_reference_torch(replica_n, epoch_batches, schedule,
-                                  pad_vector, loop_weight=loop_w,
-                                  on_step=progress,
-                                  valid_batches=valid_batches)
+            train_reference_torch(
+                replica_n, epoch_batches, schedule, pad_vector,
+                loop_weight=loop_w, on_step=progress,
+                valid_batches=valid_batches,
+                epoch_with_stitches=epoch_with_stitches,
+                stitch_margin=loss_cfg.get('stitch_tags_margin', 0.3),
+                use_hardnet=loss_cfg.get('stitch_hardnet_version', False))
             metrics_n = _torch_eval_metrics(replica_n, wrapper, model)
             seed_metrics.append(metrics_n)
             print('parity_check::seed %d metrics: %s' % (seed, {
                 k: round(metrics_n[k], 5)
-                for k in SHAPE_METRICS if k in metrics_n}), flush=True)
+                for k in metric_keys if k in metrics_n}), flush=True)
         report['torch_noise_seed_metrics'] = [
-            {k: m.get(k) for k in SHAPE_METRICS if k in m}
+            {k: m.get(k) for k in metric_keys if k in m}
             for m in seed_metrics]
         floors = {}
-        for key in SHAPE_METRICS:
+        for key in metric_keys:
             base = torch_metrics.get(key)
             vals = [m.get(key) for m in seed_metrics if m.get(key) is not None]
             if base is not None and vals:
                 floors[key] = max(abs(v - base) / max(abs(base), 1e-3)
                                   for v in vals)
         report['torch_noise_floor'] = floors
-    return ours, _compare_rows(ours, torch_metrics, SHAPE_METRICS,
+    return ours, _compare_rows(ours, torch_metrics, metric_keys,
                                'torch_trained', floors=floors)
+
+
+def _torch_eval_stitch_metrics(replica, wrapper, model, section='test'):
+    """Evaluate the torch pair classifier on `section` batches through OUR
+    ComposedLoss metric stack (array preds), pinned to the CPU backend —
+    same rationale as _torch_eval_metrics."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    replica.eval()
+    metrics = {}
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        for batch in wrapper.get_loader(section):
+            with torch.no_grad():
+                logits = replica(torch.from_numpy(np.asarray(
+                    batch['features'], dtype=np.float32)))
+            _, loss_dict, _ = model.loss(
+                jnp.asarray(logits.numpy()),
+                jnp.asarray(np.asarray(batch['ground_truth'])))
+            for key, value in loss_dict.items():
+                value = np.asarray(value)
+                if value.ndim == 0 and np.isfinite(float(value)):
+                    metrics.setdefault(key, []).append(float(value))
+    return _with_f1({k: sum(v) / len(v) for k, v in metrics.items() if v})
+
+
+def _with_f1(metrics):
+    p, r = metrics.get('stitch_precision'), metrics.get('stitch_recall')
+    if p is not None and r is not None:
+        metrics['stitch_f1'] = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return metrics
+
+
+def _stitch_train_cross_check(args, report):
+    """Stage-2 trained A/B: the torch stitch pair classifier
+    (reference recipe — BCE on pair logits, Adam + OneCycle,
+    nn/trainer.py:162-185 + nn/metrics/composed_loss.py:11-126) vs this
+    framework's stitch stack, from the same imported init, on the same
+    materialized pair batches; converged stitch P/R/F1 + pair accuracy
+    compared on the same test pairs through the same metric code."""
+    import tempfile
+    from functools import partial
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..experiment.torch_reference import (TorchStitchOnEdge3DPairs,
+                                              train_reference_stitch_torch)
+
+    cfg = load_yaml(args.stitch_config)
+    data_cfg = dict(cfg['dataset'])
+    # freeze the sampled pair sets: both stacks (and every eval) must see
+    # the identical pairs
+    data_cfg.setdefault('pairs_seed', 17)
+    if args.max_datapoints:
+        data_cfg['max_datapoints_per_type'] = args.max_datapoints
+    dataset = GarmentStitchPairsDataset(
+        Path(args.dataset_root), data_cfg, gt_caching=True, feature_caching=True)
+    wrapper = DatasetWrapper(dataset)
+    wrapper.load_split(cfg.get('data_split', {}))
+    wrapper.new_loaders(cfg['trainer']['batch_size'])
+    wrapper.standardize_data()
+
+    model = build_model('StitchOnEdge3DPairs', dataset.config, cfg['NN'],
+                        cfg['NN'].get('loss', {}))
+
+    torch.manual_seed(args.train_seed)
+    replica = TorchStitchOnEdge3DPairs(
+        pair_feature_len=dataset.config['element_size'],
+        hidden=cfg['NN'].get('stitch_hidden_size', 200),
+        n_layers=cfg['NN'].get('stitch_mlp_n_layers', 3))
+    with tempfile.TemporaryDirectory() as tmp:
+        init_pth = Path(tmp) / 'init.pth'
+        torch.save({'model_state_dict': replica.state_dict()}, init_pth)
+        variables = load_checkpoint_any(init_pth)['variables']
+
+    # one materialized batch sequence consumed by BOTH stacks
+    epoch_batches = []
+    for _ in range(args.train_epochs):
+        epoch_batches.append([
+            {'features': np.asarray(b['features'], np.float32),
+             'ground_truth': np.asarray(b['ground_truth'], np.float32)}
+            for b in wrapper.loaders.train])
+    valid_batches = [
+        {'features': np.asarray(b['features'], np.float32),
+         'ground_truth': np.asarray(b['ground_truth'], np.float32)}
+        for b in wrapper.loaders.validation]
+    total_steps = sum(len(e) for e in epoch_batches)
+    lr = cfg['trainer'].get('learning_rate', 2e-3)
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 4), peak_value=lr,
+        pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
+
+    print('parity_check::stitch A/B — training this framework')
+    tx = optax.adam(schedule)
+    params, stats = variables['params'], variables['batch_stats']
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, feats, labels):
+        def loss_fn(p):
+            logits, mutated = model.module.apply(
+                {'params': p, 'batch_stats': stats}, feats,
+                train=True, mutable=['batch_stats'])
+            loss, _, _ = model.loss(logits, labels)
+            return loss, mutated['batch_stats']
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    @jax.jit
+    def val_loss(params, stats, feats, labels):
+        logits = model.module.apply({'params': params, 'batch_stats': stats},
+                                    feats, train=False)
+        loss, _, _ = model.loss(logits, labels)
+        return loss
+
+    jax_hist = []
+    best = (float('inf'), None)
+    for batches in epoch_batches:
+        pending = []
+        for batch in batches:
+            params, stats, opt_state, loss = step(
+                params, stats, opt_state, jnp.asarray(batch['features']),
+                jnp.asarray(batch['ground_truth']))
+            pending.append(loss)
+        jax_hist += [float(v) for v in jax.device_get(pending)]
+        val = float(np.mean([
+            float(val_loss(params, stats, jnp.asarray(b['features']),
+                           jnp.asarray(b['ground_truth'])))
+            for b in valid_batches]))
+        if val < best[0]:
+            best = (val, jax.tree_util.tree_map(np.asarray, (params, stats)))
+    params, stats = best[1] if best[1] is not None else (params, stats)
+    ours = _with_f1(eval_metrics(
+        model, {'params': params, 'batch_stats': stats}, wrapper, 'test'))
+
+    def progress(step_i, loss):
+        if step_i % 100 == 0:
+            print(f'parity_check::torch stitch step {step_i}/{total_steps} '
+                  f'loss={loss:.5f}', flush=True)
+
+    print(f'parity_check::stitch A/B — training the torch reference recipe '
+          f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
+    torch_hist = train_reference_stitch_torch(
+        replica, epoch_batches, schedule, on_step=progress,
+        valid_batches=valid_batches)
+    report['stitch_train_loss_first_step'] = {'torch': torch_hist[0],
+                                              'ours': jax_hist[0]}
+    torch_metrics = _torch_eval_stitch_metrics(replica, wrapper, model)
+    report['stitch_trained_metrics'] = {
+        k: ours.get(k) for k in STITCH_METRICS if k in ours}
+    report['torch_stitch_trained_metrics'] = {
+        k: torch_metrics.get(k) for k in STITCH_METRICS if k in torch_metrics}
+
+    floors = None
+    if args.noise_floor:
+        seed_metrics = []
+        for extra in range(1, max(args.noise_seeds, 1) + 1):
+            seed = args.train_seed + extra
+            print(f'parity_check::stitch noise floor — torch seed {seed} '
+                  f'({extra}/{args.noise_seeds})')
+            torch.manual_seed(seed)
+            replica_n = TorchStitchOnEdge3DPairs(
+                pair_feature_len=dataset.config['element_size'],
+                hidden=cfg['NN'].get('stitch_hidden_size', 200),
+                n_layers=cfg['NN'].get('stitch_mlp_n_layers', 3))
+            train_reference_stitch_torch(replica_n, epoch_batches, schedule,
+                                         on_step=progress,
+                                         valid_batches=valid_batches)
+            metrics_n = _torch_eval_stitch_metrics(replica_n, wrapper, model)
+            seed_metrics.append(metrics_n)
+            print('parity_check::stitch seed %d metrics: %s' % (seed, {
+                k: round(metrics_n[k], 5)
+                for k in STITCH_METRICS if k in metrics_n}), flush=True)
+        report['torch_stitch_noise_seed_metrics'] = [
+            {k: m.get(k) for k in STITCH_METRICS if k in m}
+            for m in seed_metrics]
+        floors = {}
+        for key in STITCH_METRICS:
+            base = torch_metrics.get(key)
+            vals = [m.get(key) for m in seed_metrics if m.get(key) is not None]
+            if base is not None and vals:
+                floors[key] = max(abs(v - base) / max(abs(base), 1e-3)
+                                  for v in vals)
+        report['torch_stitch_noise_floor'] = floors
+    return ours, _compare_rows(ours, torch_metrics, STITCH_METRICS,
+                               'torch_stitch_trained', floors=floors)
 
 
 def _torch_replica_metrics(config, dataset, wrapper, model, shape_pth):
@@ -384,19 +627,30 @@ def main(argv=None):
 
 def _main_impl(args):
     report = {'dataset_root': args.dataset_root, 'shape_pth': args.shape_pth}
-    if not args.shape_pth and not args.torch_train_cross_check:
+    if not args.shape_pth and not args.torch_train_cross_check \
+            and not args.stitch_train_cross_check:
         raise SystemExit('parity_check::--shape_pth is required unless '
-                         '--torch_train_cross_check trains from scratch')
-
-    config, dataset, wrapper, model, variables = _build_shape_stack(
-        args, load_checkpoint=bool(args.shape_pth))
+                         '--torch_train_cross_check / '
+                         '--stitch_train_cross_check train from scratch')
 
     rows = []
     ours = {}
+    need_shape_stack = bool(args.shape_pth) or args.torch_train_cross_check
+    if need_shape_stack:
+        config, dataset, wrapper, model, variables = _build_shape_stack(
+            args, load_checkpoint=bool(args.shape_pth))
+    else:
+        config = dataset = wrapper = model = variables = None
+
     if args.torch_train_cross_check:
         ours, train_rows = _train_cross_check(
             args, config, dataset, wrapper, model, report)
         rows += train_rows
+
+    if args.stitch_train_cross_check:
+        stitch_ours, stitch_rows = _stitch_train_cross_check(args, report)
+        ours.update(stitch_ours)
+        rows += stitch_rows
 
     if variables is not None:
         print('parity_check::evaluating shape model on the test split')

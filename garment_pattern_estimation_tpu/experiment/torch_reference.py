@@ -242,19 +242,93 @@ def torch_panel_loop_loss(outlines, num_edges, pad_vector):
     return (loop_sum ** 2).sum() / (BP * 2)
 
 
-def torch_composed_loss(preds, gt, pad_vector, loop_weight=1.0):
+def torch_pattern_stitch_loss(stitch_tags, gt_stitches, gt_num_stitches,
+                              margin=0.3, use_hardnet=False):
+    """Stitch-tag contrastive loss in torch — term-for-term the same
+    reductions as losses/components.pattern_stitch_loss (reference
+    semantics: nn/metrics/losses.py:54-181): pull the two sides of every GT
+    stitch together; push tags of different stitches >= `margin` apart."""
+    B = stitch_tags.shape[0]
+    S = gt_stitches.shape[-1]
+    flat_tags = stitch_tags.reshape(B, -1, stitch_tags.shape[-1])  # (B, P*L, 3)
+
+    left = torch.gather(
+        flat_tags, 1,
+        gt_stitches[:, 0, :, None].expand(-1, -1, flat_tags.shape[-1]))
+    right = torch.gather(
+        flat_tags, 1,
+        gt_stitches[:, 1, :, None].expand(-1, -1, flat_tags.shape[-1]))
+
+    stitch_valid = torch.arange(S)[None, :] < gt_num_stitches[:, None]  # (B, S)
+
+    sim = ((left - right) ** 2).sum(dim=-1)                             # (B, S)
+    per_pattern = (sim * stitch_valid).sum(dim=1) \
+        / gt_num_stitches.clamp(min=1)
+    similarity_loss = per_pattern.mean()
+
+    total_tags = torch.cat([left, right], dim=1)                        # (B, 2S, 3)
+    tag_valid = torch.cat([stitch_valid, stitch_valid], dim=1)          # (B, 2S)
+    dists = ((total_tags[:, :, None, :]
+              - total_tags[:, None, :, :]) ** 2).sum(dim=-1)            # (B, 2S, 2S)
+
+    idx = torch.arange(2 * S)
+    self_mask = idx[:, None] == idx[None, :]
+    brother = torch.where(idx < S, idx + S, idx - S)
+    brother_mask = brother[:, None] == idx[None, :]
+    pair_excluded = self_mask | brother_mask
+    pair_valid = tag_valid[:, :, None] & tag_valid[:, None, :]
+
+    num_valid_tags = tag_valid.sum(dim=1)                               # (B,)
+    total_tag_count = num_valid_tags.sum().clamp(min=1)
+
+    if use_hardnet:
+        masked = torch.where(pair_valid & ~pair_excluded[None], dists,
+                             torch.full_like(dists, float('inf')))
+        min_dist = masked.min(dim=-1).values
+        per_tag = (margin - min_dist).clamp(min=0.0)
+        per_tag = torch.where(tag_valid & torch.isfinite(min_dist), per_tag,
+                              torch.zeros_like(per_tag))
+        neg_loss = per_tag.sum() / total_tag_count
+    else:
+        hinge = (margin - dists).clamp(min=0.0)
+        hinge = torch.where(pair_valid & ~pair_excluded[None], hinge,
+                            torch.zeros_like(hinge))
+        per_tag = hinge.sum(dim=-1) / num_valid_tags.clamp(min=1)[:, None]
+        per_tag = torch.where(tag_valid, per_tag, torch.zeros_like(per_tag))
+        neg_loss = per_tag.sum() / total_tag_count
+
+    total = similarity_loss + neg_loss
+    return total, {'stitch_similarity_loss': similarity_loss,
+                   'stitch_neg_loss': neg_loss}
+
+
+def torch_composed_loss(preds, gt, pad_vector, loop_weight=1.0,
+                        with_stitches=False, stitch_margin=0.3,
+                        use_hardnet=False):
     """The published att recipe's training loss (configs/att.yaml:
     loss_components [shape, loop, rotation, translation], no order/origin
     matching) in torch — term-for-term the same means as
-    losses/composed.ComposedPatternLoss._main_losses."""
+    losses/composed.ComposedPatternLoss._main_losses. `with_stitches`
+    additionally enables the stitch-tag contrastive + free-class BCE terms
+    (the post-`epoch_with_stitches` loss structure — the reference's
+    nn/metrics/composed_loss.py:259-265)."""
     pattern = ((preds['outlines'] - gt['outlines']) ** 2).mean()
     loop = torch_panel_loop_loss(preds['outlines'], gt['num_edges'],
                                  pad_vector)
     rot = ((preds['rotations'] - gt['rotations']) ** 2).mean()
     transl = ((preds['translations'] - gt['translations']) ** 2).mean()
     full = pattern + loop_weight * loop + rot + transl
-    return full, {'pattern_loss': pattern, 'loop_loss': loop,
-                  'rotation_loss': rot, 'translation_loss': transl}
+    terms = {'pattern_loss': pattern, 'loop_loss': loop,
+             'rotation_loss': rot, 'translation_loss': transl}
+    if with_stitches:
+        stitch, breakdown = torch_pattern_stitch_loss(
+            preds['stitch_tags'], gt['stitches'], gt['num_stitches'],
+            margin=stitch_margin, use_hardnet=use_hardnet)
+        free = torch.nn.functional.binary_cross_entropy_with_logits(
+            preds['free_edges_mask'], gt['free_edges_mask'].float())
+        full = full + stitch + free
+        terms.update(breakdown, free_edges_loss=free)
+    return full, terms
 
 
 def _torch_gt(gt):
@@ -262,11 +336,19 @@ def _torch_gt(gt):
            for key in ('outlines', 'rotations', 'translations')}
     out['num_edges'] = torch.from_numpy(
         np.asarray(gt['num_edges'], dtype=np.int64))
+    for key in ('stitches', 'num_stitches'):
+        if key in gt:
+            out[key] = torch.from_numpy(np.asarray(gt[key], dtype=np.int64))
+    if 'free_edges_mask' in gt:
+        out['free_edges_mask'] = torch.from_numpy(
+            np.asarray(gt['free_edges_mask'], dtype=np.float32))
     return out
 
 
 def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
-                          loop_weight=1.0, on_step=None, valid_batches=None):
+                          loop_weight=1.0, on_step=None, valid_batches=None,
+                          epoch_with_stitches=None, stitch_margin=0.3,
+                          use_hardnet=False):
     """Train the torch replica with the reference recipe (Adam + per-step
     scheduled lr + composed loss — nn/trainer.py:162-185).
 
@@ -280,7 +362,13 @@ def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
     `valid_batches`: when given, a validation pass runs after every epoch
     and the best-validation weights are RESTORED into the model at the end
     — the reference recipe's 'best' checkpoint selection
-    (nn/trainer.py:214-219)."""
+    (nn/trainer.py:214-219).
+
+    `epoch_with_stitches`: when not None, epochs >= it train with the
+    stitch-tag contrastive + free-class BCE terms enabled — the reference's
+    mid-training loss-structure change (nn/metrics/composed_loss.py:259-265;
+    validation for best-checkpoint selection follows the same structure, as
+    the reference trainer's valid pass does)."""
     import copy as _copy
 
     pad = torch.from_numpy(np.array(pad_vector, dtype=np.float32))  # owns data
@@ -288,7 +376,11 @@ def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
     history = []
     best = (float('inf'), None)
     step = 0
-    for batches in epoch_batches:
+    for epoch, batches in enumerate(epoch_batches):
+        with_stitches = (epoch_with_stitches is not None
+                         and epoch >= epoch_with_stitches)
+        if epoch_with_stitches is not None and epoch == epoch_with_stitches:
+            best = (float('inf'), None)  # loss structure changed: reset best
         model.train()
         for batch in batches:
             for group in opt.param_groups:
@@ -298,7 +390,9 @@ def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
                 np.asarray(batch['features'], dtype=np.float32))
             preds = model(feats)
             loss, terms = torch_composed_loss(
-                preds, _torch_gt(batch['ground_truth']), pad, loop_weight)
+                preds, _torch_gt(batch['ground_truth']), pad, loop_weight,
+                with_stitches=with_stitches, stitch_margin=stitch_margin,
+                use_hardnet=use_hardnet)
             loss.backward()
             opt.step()
             history.append(float(loss.detach()))
@@ -312,7 +406,60 @@ def train_reference_torch(model, epoch_batches, lr_schedule, pad_vector,
                     float(torch_composed_loss(
                         model(torch.from_numpy(np.asarray(
                             b['features'], dtype=np.float32))),
-                        _torch_gt(b['ground_truth']), pad, loop_weight)[0])
+                        _torch_gt(b['ground_truth']), pad, loop_weight,
+                        with_stitches=with_stitches,
+                        stitch_margin=stitch_margin,
+                        use_hardnet=use_hardnet)[0])
+                    for b in valid_batches]))
+            if val < best[0]:
+                best = (val, _copy.deepcopy(model.state_dict()))
+    if best[1] is not None:
+        model.load_state_dict(best[1])
+    return history
+
+
+def train_reference_stitch_torch(model, epoch_batches, lr_schedule,
+                                 on_step=None, valid_batches=None):
+    """Train the torch stitch pair classifier with the reference recipe:
+    Adam + per-step scheduled lr + BCE-with-logits on pair labels
+    (nn/trainer.py:162-185 + nn/metrics/composed_loss.py:11-126), with
+    best-validation weight restoration. `epoch_batches` hold
+    {'features': (B, NP, 16), 'ground_truth': (B, NP)} host batches — the
+    SAME batch sequence the JAX side consumes."""
+    import copy as _copy
+
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)  # lr set per step
+    bce = torch.nn.functional.binary_cross_entropy_with_logits
+    history = []
+    best = (float('inf'), None)
+    step = 0
+    for batches in epoch_batches:
+        model.train()
+        for batch in batches:
+            for group in opt.param_groups:
+                group['lr'] = float(lr_schedule(step))
+            opt.zero_grad()
+            feats = torch.from_numpy(
+                np.asarray(batch['features'], dtype=np.float32))
+            labels = torch.from_numpy(
+                np.asarray(batch['ground_truth'], dtype=np.float32))
+            loss = bce(model(feats).reshape(-1), labels.reshape(-1))
+            loss.backward()
+            opt.step()
+            history.append(float(loss.detach()))
+            if on_step is not None:
+                on_step(step, history[-1])
+            step += 1
+        if valid_batches:
+            model.eval()
+            with torch.no_grad():
+                val = float(np.mean([
+                    float(bce(
+                        model(torch.from_numpy(np.asarray(
+                            b['features'], dtype=np.float32))).reshape(-1),
+                        torch.from_numpy(np.asarray(
+                            b['ground_truth'],
+                            dtype=np.float32)).reshape(-1)))
                     for b in valid_batches]))
             if val < best[0]:
                 best = (val, _copy.deepcopy(model.state_dict()))

@@ -165,3 +165,144 @@ def test_parity_check_torch_train_cross_check(parity_env, tmp_path, monkeypatch)
     comps = [c for c in report['comparisons']
              if c['metric'].startswith('torch_trained:')]
     assert comps and all(c['pass'] for c in comps)
+
+
+def test_torch_stitch_loss_matches_jax_oracle():
+    """torch_pattern_stitch_loss is an exact mirror of
+    losses/components.pattern_stitch_loss (both triplet and hardnet forms)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from garment_pattern_estimation_tpu.losses.components import (
+        pattern_stitch_loss)
+    from garment_pattern_estimation_tpu.experiment.torch_reference import (
+        torch_pattern_stitch_loss)
+
+    rng = np.random.default_rng(0)
+    B, P, L, S = 3, 5, 6, 8
+    tags = rng.normal(size=(B, P, L, 3)).astype(np.float32)
+    stitches = rng.integers(0, P * L, size=(B, 2, S)).astype(np.int64)
+    nums = np.array([3, 8, 1], dtype=np.int64)
+
+    for hardnet in (False, True):
+        jax_total, jax_terms = pattern_stitch_loss(
+            jnp.asarray(tags), jnp.asarray(stitches), jnp.asarray(nums),
+            margin=0.3, use_hardnet=hardnet)
+        t_total, t_terms = torch_pattern_stitch_loss(
+            torch.from_numpy(tags), torch.from_numpy(stitches),
+            torch.from_numpy(nums), margin=0.3, use_hardnet=hardnet)
+        assert float(t_total) == pytest.approx(float(jax_total), rel=1e-5)
+        for key in jax_terms:
+            assert float(t_terms[key]) == pytest.approx(
+                float(jax_terms[key]), rel=1e-5), (hardnet, key)
+
+
+def test_parity_check_stitch_train_cross_check(parity_env, tmp_path,
+                                               monkeypatch):
+    """--stitch_train_cross_check: both pair classifiers train from the same
+    init on the same pair batches; the report carries both converged stitch
+    metric columns and a seed-grounded noise floor."""
+    root, data, _, _, _, _ = parity_env
+    monkeypatch.chdir(tmp_path)
+    from garment_pattern_estimation_tpu.cli import parity_check
+
+    stitch_ab = {
+        'experiment': {'project_name': 'Parity', 'run_name': 'stitch-ab',
+                       'run_id': None},
+        'dataset': {'class': 'GarmentStitchPairsDataset',
+                    'data_folders': ['tee_synth_300', 'skirt_synth_300',
+                                     'jumpsuit_synth_300'],
+                    'stitched_edge_pairs_num': 20,
+                    'non_stitched_edge_pairs_num': 20,
+                    'pairs_seed': 3},
+        'data_split': {'valid_per_type': 1, 'test_per_type': 2,
+                       'random_seed': 10, 'type': 'count'},
+        'NN': {'model': 'StitchOnEdge3DPairs', 'stitch_hidden_size': 16,
+               'stitch_mlp_n_layers': 2,
+               'loss': {'loss_components': ['edge_pair_class'],
+                        'quality_components': ['edge_pair_class',
+                                               'edge_pair_stitch_recall']}},
+        'trainer': {'batch_size': 2, 'learning_rate': 0.002},
+    }
+    stitch_yaml = tmp_path / 'stitch_ab.yaml'
+    stitch_yaml.write_text(yaml.safe_dump(stitch_ab, sort_keys=False))
+
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--stitch_config', str(stitch_yaml),
+        '--stitch_train_cross_check', '--train_epochs', '3',
+        '--tolerance', '0.9',   # machinery test, not a convergence claim
+        '--noise_floor', '--noise_seeds', '1',
+        '--output', str(tmp_path / 'stitch_ab.json')])
+    assert rc == 0
+    report = json.loads((tmp_path / 'stitch_ab.json').read_text())
+    assert 'edge_pair_class_acc' in report['stitch_trained_metrics']
+    assert 'stitch_f1' in report['torch_stitch_trained_metrics']
+    first = report['stitch_train_loss_first_step']
+    assert abs(first['torch'] - first['ours']) <= 1e-3 * abs(first['torch'])
+    assert len(report['torch_stitch_noise_seed_metrics']) == 1
+    comps = [c for c in report['comparisons']
+             if c['metric'].startswith('torch_stitch_trained:')]
+    assert comps
+
+
+def test_parity_check_train_cross_check_with_stitch_terms(parity_env,
+                                                          tmp_path,
+                                                          monkeypatch):
+    """The shape training A/B accepts stitch/free_class components: both
+    stacks train through the epoch_with_stitches loss-structure change and
+    report stitch quality metrics (GarmentFullPattern3D recipe)."""
+    root, data, _, _, _, _ = parity_env
+    monkeypatch.chdir(tmp_path)
+    from garment_pattern_estimation_tpu.cli import parity_check
+
+    config = {
+        'experiment': {'project_name': 'Parity', 'run_name': 'lstm-ab',
+                       'run_id': None},
+        'dataset': {'class': 'Garment3DPatternFullDataset',
+                    'data_folders': ['tee_synth_300', 'skirt_synth_300',
+                                     'jumpsuit_synth_300'],
+                    'mesh_samples': 60, 'obj_filetag': 'sim',
+                    'point_noise_w': 0,
+                    'panel_classification': str(data / 'panel_classes.json')},
+        'data_split': {'valid_per_type': 1, 'test_per_type': 2,
+                       'random_seed': 10, 'type': 'count'},
+        'NN': {'model': 'GarmentFullPattern3D',
+               'feature_extractor': 'EdgeConvFeatures',
+               'conv_depth': 1, 'k_neighbors': 5, 'EConv_hidden': 12,
+               'EConv_feature': 10, 'EConv_hidden_depth': 1,
+               'EConv_aggr': 'max', 'global_pool': 'mean',
+               'skip_connections': True,
+               'panel_decoder': 'LSTMDecoderModule',
+               'panel_encoding_size': 16, 'panel_hidden_size': 16,
+               'panel_n_layers': 1,
+               'pattern_decoder': 'LSTMDecoderModule',
+               'pattern_encoding_size': 16, 'pattern_hidden_size': 16,
+               'pattern_n_layers': 1, 'stitch_tag_dim': 3,
+               'loss': {'loss_components': ['shape', 'loop', 'rotation',
+                                            'translation', 'stitch',
+                                            'free_class'],
+                        'quality_components': ['shape', 'discrete',
+                                               'rotation', 'translation',
+                                               'stitch', 'free_class'],
+                        'epoch_with_stitches': 2,
+                        'stitch_tags_margin': 0.3,
+                        'panel_origin_invariant_loss': False,
+                        'panel_order_inariant_loss': False}},
+        'trainer': {'batch_size': 4, 'epochs': 1, 'random_seed': 1,
+                    'learning_rate': 0.002, 'optimizer': 'Adam',
+                    'lr_scheduling': {'mode': '1cyclic'}},
+    }
+    shape_yaml = tmp_path / 'lstm_ab.yaml'
+    shape_yaml.write_text(yaml.safe_dump(config, sort_keys=False))
+
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--torch_train_cross_check', '--train_epochs', '4',
+        '--tolerance', '0.9',   # machinery test, not a convergence claim
+        '--output', str(tmp_path / 'lstm_ab.json')])
+    assert rc == 0
+    report = json.loads((tmp_path / 'lstm_ab.json').read_text())
+    # the stitch phase ran in BOTH stacks: stitch quality columns exist
+    assert 'stitch_precision' in report['trained_shape_metrics']
+    assert 'free_edge_acc' in report['torch_trained_metrics']
+    first = report['train_loss_first_step']
+    assert abs(first['torch'] - first['ours']) <= 1e-3 * abs(first['torch'])
