@@ -294,6 +294,10 @@ class EdgeConvFeatures(nn.Module):
     pool_ratio: float = 0.1
     use_pallas: bool | None = None
     compute_dtype: str | None = None
+    # queries per sweep step of the chunked EdgeConv TRAINING path
+    # (ops/edgeconv_train); None = the ~256 MB-per-intermediate auto size.
+    # Exposed as `NN.edgeconv_train_chunk` for stress-scale tuning
+    train_chunk_size: int | None = None
     # precision islands under bf16 compute: conv layer ids kept at f32.
     # Rationale: conv0 ingests raw (standardized) geometry, where bf16
     # rounding is ~40% relative noise on the x_j - x_i neighbor differences
@@ -321,6 +325,7 @@ class EdgeConvFeatures(nn.Module):
             out = EdgeConv(mlp_sizes, k=min(self.k_neighbors, out.shape[1]),
                            aggr=self.econv_aggr, use_pallas=self.use_pallas,
                            compute_dtype=conv_dtype,
+                           train_chunk_size=self.train_chunk_size,
                            name=f'conv{conv_id}')(out, train=train)
             if self.graph_pooling:
                 if self.skip_connections:

@@ -68,6 +68,8 @@ class GarmentFullPattern3DModule(nn.Module):
     # placement-safe mixed-precision mode keeps conv0 (raw-geometry layer)
     # exact while the wide conv1 matmuls ride the MXU in bf16
     f32_conv_layers: tuple = ()
+    # chunk size for the chunked EdgeConv training path (NN.edgeconv_train_chunk)
+    edgeconv_train_chunk: int | None = None
 
     def setup(self):
         self.encoder = self._make_encoder()
@@ -98,6 +100,7 @@ class GarmentFullPattern3DModule(nn.Module):
                 graph_pooling=self.graph_pooling, pool_ratio=self.pool_ratio,
                 use_pallas=self.use_pallas, compute_dtype=self.compute_dtype,
                 f32_conv_layers=self.f32_conv_layers,
+                train_chunk_size=self.edgeconv_train_chunk,
                 name='feature_extractor')
         if self.feature_extractor == 'EdgeConvPoolingFeatures':
             return encoder_cls(

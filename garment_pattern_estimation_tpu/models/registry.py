@@ -108,6 +108,8 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
     # precision islands: conv layer ids kept f32 under bf16 compute
     # (NN.f32_conv_layers: [0] = the placement-safe mixed-precision mode)
     f32_conv_layers = tuple(nn_config.pop('f32_conv_layers', ()) or ())
+    # chunked-EdgeConv training sweep width (stress-scale tuning knob)
+    edgeconv_train_chunk = nn_config.pop('edgeconv_train_chunk', None)
     loss_config = dict(loss_config or {})
 
     if model_name in ('GarmentFullPattern3D', 'GarmentSegmentPattern3D'):
@@ -135,6 +137,7 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
             use_pallas=use_pallas,
             compute_dtype=compute_dtype,
             f32_conv_layers=f32_conv_layers,
+            edgeconv_train_chunk=edgeconv_train_chunk,
         )
         for key, value in config.items():
             field = _FIELD_MAP.get(key, key)

@@ -342,6 +342,39 @@ def generate_dataset(root, folders=None, samples_per_folder=6, seed=0,
     return root
 
 
+def augment_dataset_with_scans(root, folders=None, seed=1234):
+    """Emit `*_scan_imitation.obj` variants for every datapoint of existing
+    folders, WITHOUT touching the sim meshes or specs — a separate rng keeps
+    previously generated data byte-identical, so models already trained on
+    the sim meshes stay evaluable. Returns the number of datapoints
+    augmented."""
+    from ..preprocess import mesh as mesh_io
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    count = 0
+    folders = folders or [d.name for d in root.iterdir() if d.is_dir()]
+    for folder in folders:
+        for dp in sorted((root / folder).iterdir()):
+            if not dp.is_dir():
+                continue
+            sims = sorted(dp.glob('*_sim.obj'))
+            if not sims:
+                continue
+            sim = sims[0]
+            name = sim.name[:-len('_sim.obj')]
+            verts, faces = mesh_io.read_triangle_mesh(sim)
+            scan_verts = verts + rng.normal(scale=0.4, size=verts.shape)
+            keep = rng.random(len(faces)) > 0.25
+            write_obj(dp / f'{name}_scan_imitation.obj', scan_verts, faces[keep])
+            seg = dp / f'{name}_sim_segmentation.txt'
+            if seg.exists():
+                (dp / f'{name}_scan_imitation_segmentation.txt').write_text(
+                    seg.read_text())
+            count += 1
+    return count
+
+
 def panel_classes_for_templates(path=None):
     """Panel-classification JSON covering the synthetic templates (one class
     per distinct panel ROLE — unseen templates' panels join the classes the

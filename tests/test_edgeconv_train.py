@@ -92,3 +92,31 @@ def test_auto_policy_picks_chunked_only_when_big():
     assert (B * N * 3 * max(C, 8) * 4) < EdgeConv._CHUNK_TRAIN_BYTES
     big_edges = 128 * 10000 * 5 * max(150, 200) * 4
     assert big_edges > EdgeConv._CHUNK_TRAIN_BYTES
+
+
+def test_nn_config_chunk_knob_plumbs_through():
+    """NN.edgeconv_train_chunk reaches the EdgeConv modules (the stress
+    -scale sweep knob; chunk-size invariance itself is tested above)."""
+    from garment_pattern_estimation_tpu.models import build_model
+
+    data_config = {'element_size': 4, 'max_panel_len': 6, 'max_pattern_len': 5,
+                   'rotation_size': 4, 'translation_size': 3,
+                   'standardize': {'gt_shift': {'outlines': [0.0] * 4,
+                                                'rotations': [0.0] * 4,
+                                                'translations': [0.0] * 3},
+                                   'gt_scale': {'outlines': [1.0] * 4,
+                                                'rotations': [1.0] * 4,
+                                                'translations': [1.0] * 3}}}
+    model = build_model('GarmentSegmentPattern3D', data_config,
+                        {'edgeconv_train_chunk': 384, 'EConv_hidden': 8,
+                         'EConv_feature': 8, 'panel_encoding_size': 8,
+                         'panel_hidden_size': 8, 'panel_n_layers': 1},
+                        {'loss_components': ['shape']})
+    assert model.module.edgeconv_train_chunk == 384
+    # the attribute reaches the encoder submodule (flax requires a scope to
+    # build it, so construct the encoder spec via a bound clone)
+    encoder = model.module.bind(
+        model.init_variables(
+            __import__('jax').random.PRNGKey(0),
+            __import__('numpy').zeros((2, 16, 3), 'float32'))).encoder
+    assert encoder.train_chunk_size == 384
