@@ -82,6 +82,22 @@ def get_args(argv=None):
                         help='number of EXTRA torch seeds for --noise_floor; '
                              'more seeds ground the envelope better (each '
                              'costs one full torch training run)')
+    parser.add_argument('--jax_seeds', type=int, default=0,
+                        help='with --torch_train_cross_check: ALSO train N '
+                             'extra JAX stacks from the torch.manual_seed('
+                             'train_seed+1..+N) inits — the same inits the '
+                             '--noise_floor torch seeds use — and report '
+                             'matched-init paired cross-framework deltas '
+                             '(the mean paired delta cancels per-seed '
+                             'training chaos and exposes a real systematic '
+                             'bias)')
+    parser.add_argument('--torch_from_report', default='',
+                        help='reuse the torch columns (trained metrics + '
+                             'noise-seed metrics) of a previous '
+                             '--torch_train_cross_check report instead of '
+                             're-paying the host-side torch trainings; '
+                             'valid only for the SAME config/dataset/split '
+                             '(the materialized batches are seed-pinned)')
     parser.add_argument('--max_datapoints', type=int, default=None,
                         help='cap per-type datapoints (quick smoke runs)')
     parser.add_argument('--output', default='./parity_report.json')
@@ -267,8 +283,6 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
     # backend init instead of after ~an hour of host-side torch training
     print('parity_check::training this framework on the materialized batches')
     tx = optax.adam(schedule)
-    params, stats = variables['params'], variables['batch_stats']
-    opt_state = tx.init(params)
 
     from functools import partial
 
@@ -297,67 +311,112 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
 
     placed_valid = [jax.tree_util.tree_map(jnp.asarray, b)
                     for b in valid_batches]
-    jax_hist = []
-    best = (float('inf'), None)
-    for epoch, batches in enumerate(epoch_batches):
-        phase = 0 if (epoch_with_stitches is None
-                      or epoch < epoch_with_stitches) else epoch_with_stitches
-        if epoch == epoch_with_stitches:
-            best = (float('inf'), None)  # loss structure changed: reset best
-        pending = []
-        for batch in batches:
-            placed = jax.tree_util.tree_map(jnp.asarray, batch)
-            params, stats, opt_state, loss = step(params, stats, opt_state,
-                                                  placed, phase)
-            pending.append(loss)
-        jax_hist += [float(v) for v in jax.device_get(pending)]
-        val = float(np.mean([float(val_loss(params, stats, b, phase))
-                             for b in placed_valid]))
-        if val < best[0]:
-            best = (val, jax.tree_util.tree_map(np.asarray, (params, stats)))
 
-    params, stats = best[1] if best[1] is not None else (params, stats)
-    trained_vars = {'params': params, 'batch_stats': stats}
+    def run_jax_training(init_variables):
+        params, stats = init_variables['params'], init_variables['batch_stats']
+        opt_state = tx.init(params)
+        hist = []
+        best = (float('inf'), None)
+        for epoch, batches in enumerate(epoch_batches):
+            phase = 0 if (epoch_with_stitches is None
+                          or epoch < epoch_with_stitches) \
+                else epoch_with_stitches
+            if epoch == epoch_with_stitches:
+                best = (float('inf'), None)  # loss structure changed: reset
+            pending = []
+            for batch in batches:
+                placed = jax.tree_util.tree_map(jnp.asarray, batch)
+                p, s, opt_state, loss = step(params, stats, opt_state,
+                                             placed, phase)
+                params, stats = p, s
+                pending.append(loss)
+            hist += [float(v) for v in jax.device_get(pending)]
+            val = float(np.mean([float(val_loss(params, stats, b, phase))
+                                 for b in placed_valid]))
+            if val < best[0]:
+                best = (val, jax.tree_util.tree_map(np.asarray,
+                                                    (params, stats)))
+        params, stats = best[1] if best[1] is not None else (params, stats)
+        return {'params': params, 'batch_stats': stats}, hist
+
+    trained_vars, jax_hist = run_jax_training(variables)
     print('parity_check::evaluating our trained model on the test split')
     ours = eval_metrics(model, trained_vars, wrapper, 'test')
 
-    print(f'parity_check::training the torch reference recipe '
-          f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
-    torch_hist = train_reference_torch(
-        replica, epoch_batches, schedule, pad_vector, loop_weight=loop_w,
-        on_step=progress, valid_batches=valid_batches,
-        epoch_with_stitches=epoch_with_stitches,
-        stitch_margin=loss_cfg.get('stitch_tags_margin', 0.3),
-        use_hardnet=loss_cfg.get('stitch_hardnet_version', False))
-    report['train_loss_first_step'] = {'torch': torch_hist[0],
-                                       'ours': jax_hist[0]}
-    report['train_loss_last_epoch'] = {
-        'torch': float(np.mean(torch_hist[-len(epoch_batches[-1]):])),
-        'ours': float(np.mean(jax_hist[-len(epoch_batches[-1]):]))}
-    print(f"parity_check::first-step loss torch={torch_hist[0]:.5f} "
-          f"ours={jax_hist[0]:.5f}; last-epoch mean "
-          f"torch={report['train_loss_last_epoch']['torch']:.5f} "
-          f"ours={report['train_loss_last_epoch']['ours']:.5f}")
+    # extra JAX seeds (the paired-delta instrument): for init seed s, torch
+    # and JAX both start from the torch.manual_seed(s) weights, so
+    # (jax_s, torch_s) are matched pairs — run these BEFORE the hour-long
+    # torch phase while this process still owns the accelerator
+    jax_seed_metrics = []
+    for extra in range(1, (args.jax_seeds or 0) + 1):
+        seed = args.train_seed + extra
+        print(f'parity_check::training JAX seed {seed} '
+              f'({extra}/{args.jax_seeds})')
+        torch.manual_seed(seed)
+        replica_s = _replica_from_config(config, dataset)
+        with tempfile.TemporaryDirectory() as tmp:
+            init_pth = Path(tmp) / 'init.pth'
+            torch.save({'model_state_dict': replica_s.state_dict()}, init_pth)
+            vars_s = import_shape_model(
+                init_pth, model_name=config['NN'].get('model'))['variables']
+        tv, _ = run_jax_training(vars_s)
+        jax_seed_metrics.append(eval_metrics(model, tv, wrapper, 'test'))
 
-    print('parity_check::evaluating the torch model on the test split '
-          '(same metric stack)')
-    torch_metrics = _torch_eval_metrics(replica, wrapper, model)
+    prior = json.loads(Path(args.torch_from_report).read_text()) \
+        if args.torch_from_report else None
+    if prior is not None:
+        # reuse the torch columns of a previous report (identical config,
+        # dataset, split, and materialized batches by construction — the
+        # loaders are seed-pinned) instead of re-paying hours of host-side
+        # torch training
+        print(f'parity_check::torch columns from {args.torch_from_report}')
+        torch_metrics = dict(prior['torch_trained_metrics'])
+        report['train_loss_first_step'] = prior.get('train_loss_first_step')
+        report['train_loss_last_epoch'] = prior.get('train_loss_last_epoch')
+        report['torch_columns_reused_from'] = str(args.torch_from_report)
+    else:
+        print(f'parity_check::training the torch reference recipe '
+              f'({args.train_epochs} epochs x {len(epoch_batches[0])} batches)')
+        torch_hist = train_reference_torch(
+            replica, epoch_batches, schedule, pad_vector, loop_weight=loop_w,
+            on_step=progress, valid_batches=valid_batches,
+            epoch_with_stitches=epoch_with_stitches,
+            stitch_margin=loss_cfg.get('stitch_tags_margin', 0.3),
+            use_hardnet=loss_cfg.get('stitch_hardnet_version', False))
+        report['train_loss_first_step'] = {'torch': torch_hist[0],
+                                           'ours': jax_hist[0]}
+        report['train_loss_last_epoch'] = {
+            'torch': float(np.mean(torch_hist[-len(epoch_batches[-1]):])),
+            'ours': float(np.mean(jax_hist[-len(epoch_batches[-1]):]))}
+        print(f"parity_check::first-step loss torch={torch_hist[0]:.5f} "
+              f"ours={jax_hist[0]:.5f}; last-epoch mean "
+              f"torch={report['train_loss_last_epoch']['torch']:.5f} "
+              f"ours={report['train_loss_last_epoch']['ours']:.5f}")
+
+        print('parity_check::evaluating the torch model on the test split '
+              '(same metric stack)')
+        torch_metrics = _torch_eval_metrics(replica, wrapper, model)
     metric_keys = SHAPE_METRICS + (
         ('stitch_precision', 'stitch_recall', 'free_edge_acc')
         if has_stitch_terms else ())
+    if jax_seed_metrics:
+        report['jax_seed_metrics'] = [
+            {k: m.get(k) for k in metric_keys if k in m}
+            for m in jax_seed_metrics]
     report['trained_shape_metrics'] = {
         k: ours.get(k) for k in metric_keys if k in ours}
     report['torch_trained_metrics'] = {
         k: torch_metrics.get(k) for k in metric_keys if k in torch_metrics}
 
     floors = None
+    seed_metrics = list(prior.get('torch_noise_seed_metrics', [])) \
+        if prior else []
     if args.noise_floor:
         # extra torch runs: same batches/schedule, init seeds +1..+N — the
         # metric spread among torch seeds is the noise the converged-metric
         # comparison inherits; a cross-framework delta inside that envelope
         # is indistinguishable from reference-vs-reference. One seed gives a
         # single pairwise delta (underestimates the envelope); prefer 3+.
-        seed_metrics = []
         for extra in range(1, max(args.noise_seeds, 1) + 1):
             seed = args.train_seed + extra
             print(f'parity_check::noise floor — training torch seed {seed} '
@@ -376,6 +435,7 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
             print('parity_check::seed %d metrics: %s' % (seed, {
                 k: round(metrics_n[k], 5)
                 for k in metric_keys if k in metrics_n}), flush=True)
+    if seed_metrics:
         report['torch_noise_seed_metrics'] = [
             {k: m.get(k) for k in metric_keys if k in m}
             for m in seed_metrics]
@@ -387,6 +447,31 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
                 floors[key] = max(abs(v - base) / max(abs(base), 1e-3)
                                   for v in vals)
         report['torch_noise_floor'] = floors
+
+    if jax_seed_metrics:
+        # matched-init paired deltas: pair i uses torch.manual_seed(i)
+        # weights on BOTH sides. The mean paired delta is the cleanest
+        # systematic-offset estimate — per-seed chaos cancels in the mean,
+        # a real cross-framework bias does not
+        torch_pool = [torch_metrics] + seed_metrics
+        jax_pool = [ours] + jax_seed_metrics
+        paired = {}
+        for key in metric_keys:
+            deltas = []
+            for t, j in zip(torch_pool, jax_pool):
+                if t.get(key) is not None and j.get(key) is not None:
+                    deltas.append(
+                        (j[key] - t[key]) / max(abs(t[key]), 1e-3))
+            if deltas:
+                paired[key] = {
+                    'per_seed_signed': deltas,
+                    'mean_abs': float(np.mean(np.abs(deltas))),
+                    'mean_signed': float(np.mean(deltas)),
+                    'max_abs': float(np.max(np.abs(deltas)))}
+        report['paired_cross_framework_deltas'] = paired
+        print('parity_check::paired cross-framework deltas (mean signed): '
+              + json.dumps({k: round(v['mean_signed'], 4)
+                            for k, v in paired.items()}))
     return ours, _compare_rows(ours, torch_metrics, metric_keys,
                                'torch_trained', floors=floors)
 

@@ -306,3 +306,45 @@ def test_parity_check_train_cross_check_with_stitch_terms(parity_env,
     assert 'free_edge_acc' in report['torch_trained_metrics']
     first = report['train_loss_first_step']
     assert abs(first['torch'] - first['ours']) <= 1e-3 * abs(first['torch'])
+
+
+def test_parity_check_jax_seeds_and_torch_reuse(parity_env, tmp_path,
+                                                monkeypatch):
+    """--jax_seeds trains matched-init extra JAX stacks and reports paired
+    cross-framework deltas; --torch_from_report reuses a previous report's
+    torch columns without re-training torch."""
+    root, data, shape_yaml, _, _, _ = parity_env
+    monkeypatch.chdir(tmp_path)
+    from garment_pattern_estimation_tpu.cli import parity_check
+
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--torch_train_cross_check', '--train_epochs', '2',
+        '--tolerance', '0.9', '--jax_seeds', '1',
+        '--noise_floor', '--noise_seeds', '1',
+        '--output', str(tmp_path / 'first.json')])
+    assert rc == 0
+    first = json.loads((tmp_path / 'first.json').read_text())
+    assert len(first['jax_seed_metrics']) == 1
+    paired = first['paired_cross_framework_deltas']
+    # pool = seed0 pair + 1 extra matched pair
+    assert len(paired['panel_shape_l2']['per_seed_signed']) == 2
+    assert paired['panel_shape_l2']['mean_abs'] >= 0
+
+    rc = parity_check.main([
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--torch_train_cross_check', '--train_epochs', '2',
+        '--tolerance', '0.9', '--jax_seeds', '1',
+        '--torch_from_report', str(tmp_path / 'first.json'),
+        '--output', str(tmp_path / 'second.json')])
+    assert rc == 0
+    second = json.loads((tmp_path / 'second.json').read_text())
+    assert second['torch_columns_reused_from'].endswith('first.json')
+    # torch columns identical to the first report (no retraining)
+    assert second['torch_trained_metrics'] == first['torch_trained_metrics']
+    assert second['torch_noise_seed_metrics'] == \
+        first['torch_noise_seed_metrics']
+    # floors derive from the reused seeds; comparisons still produced
+    assert 'panel_shape_l2' in second['torch_noise_floor']
+    assert any(c['metric'].startswith('torch_trained:')
+               for c in second['comparisons'])
