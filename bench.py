@@ -263,6 +263,53 @@ def measure_mesh_to_prediction(batch=64, num_points=2000, v_cap=4096,
     return (time.perf_counter() - start) / iters * 1e3
 
 
+def measure_serving_artifact(batch=64, num_points=2000, iters=50):
+    """Export the bf16 serving artifact ON THIS BACKEND (fused Pallas
+    kernels embedded when that backend is TPU), load it back through
+    `load_serving_artifact`, and time the LOADED program — demonstrating
+    deployed-artifact throughput ~= live-jit throughput. Returns clouds/s."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    sys.path.insert(0, str(Path(__file__).parent))
+    from __graft_entry__ import DATA_CONFIG, NN_CONFIG
+    from garment_pattern_estimation_tpu.models import build_model
+    from garment_pattern_estimation_tpu.experiment.serving import (
+        export_serving_artifact, load_serving_artifact)
+
+    model = build_model('GarmentSegmentPattern3D', DATA_CONFIG,
+                        dict(NN_CONFIG, compute_dtype='bfloat16'), {})
+    variables = model.init_variables(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, num_points, 3), jnp.float32))
+
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(
+        rng.normal(size=(batch, num_points, 3)).astype(np.float32))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        export_serving_artifact(model, variables, DATA_CONFIG, tmp,
+                                batch_size=batch, num_points=num_points)
+        served = load_serving_artifact(tmp)
+
+    call = served._exported.call  # composable into jit: on-device loop
+
+    @jax.jit
+    def run(v):
+        def step(_, acc):
+            out = call(v + acc * 1e-12)
+            return out['outlines'].sum().astype(jnp.float32) * 1e-12
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    np.asarray(run(points))  # compile + sync
+    start = time.perf_counter()
+    np.asarray(run(points))
+    elapsed = (time.perf_counter() - start) / iters
+    return batch / elapsed
+
+
 def torch_cpu_baseline():
     """clouds/s of the torch reference model (published att scale) on CPU,
     measured at BOTH the published batch size (30) and at batch 2.
@@ -358,6 +405,12 @@ def main():
             measure_train_step(batch=128, num_points=10000, steps=2), 2)
     except Exception as e:  # noqa: BLE001
         print(f'bench::warning::stress train bench failed ({e})', file=sys.stderr)
+    try:
+        extras['serving_artifact_clouds_per_sec'] = round(
+            measure_serving_artifact(), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::serving artifact bench failed ({e})',
+              file=sys.stderr)
     try:
         baseline, cpu_payload = torch_cpu_baseline()
         extras['torch_reference_cpu_clouds_per_sec'] = round(baseline, 3)

@@ -110,14 +110,22 @@ def export_serving_artifact(model, variables, data_config, out_dir, *,
 
 
 def _output_names(exported):
-    """Flattened output names. The serving fn returns a flat dict, so the
-    out_tree is a single-level dict whose keys sort like jax's flattening."""
+    """Flattened output names, recovered EXACTLY: unflatten the out_tree
+    with position indices as leaves, then read each dict key's index — no
+    assumption that jax's flattening order matches sorted() (it currently
+    does for dicts, but the manifest must not silently mislabel outputs if
+    that ever changes or the tree gains nesting)."""
     try:
         import jax
-        leaves_template = [0] * len(exported.out_avals)
+        leaves_template = list(range(len(exported.out_avals)))
         tree = jax.tree_util.tree_unflatten(exported.out_tree, leaves_template)
-        if isinstance(tree, dict):
-            return sorted(tree.keys())
+        if isinstance(tree, dict) and all(
+                isinstance(v, int) for v in tree.values()):
+            names = [None] * len(leaves_template)
+            for key, leaf_idx in tree.items():
+                names[leaf_idx] = str(key)
+            if all(n is not None for n in names):
+                return names
     except Exception:  # noqa: BLE001 — names are informational only
         pass
     return [f'out_{i}' for i in range(len(exported.out_avals))]

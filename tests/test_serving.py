@@ -125,3 +125,28 @@ def test_unstandardize_keys(tiny_model):
                                    rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(served_out['free_edges_mask']),
                                   np.asarray(raw['free_edges_mask']))
+
+
+def test_output_names_exact(artifact_dir):
+    """Manifest output names map positions to dict keys EXACTLY (recovered
+    from the out_tree with index leaves, not via a sorted() assumption)."""
+    _, manifest = artifact_dir
+    names = list(manifest['outputs'])
+    assert set(names) >= {'outlines', 'rotations', 'translations'}
+    # shapes recorded under each name must match that OUTPUT's aval: the
+    # rotations entry must carry the rotation head's width, etc.
+    assert manifest['outputs']['rotations']['shape'][-1] == 4
+    assert manifest['outputs']['translations']['shape'][-1] == 3
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='TPU-backend export (fused kernels embedded); '
+                           'bench.py::measure_serving_artifact exercises it '
+                           'on the real chip')
+def test_tpu_export_load_roundtrip(tiny_model, tmp_path):
+    model, variables = tiny_model
+    export_serving_artifact(model, variables, DATA_CONFIG, tmp_path,
+                            batch_size=2, num_points=N)
+    served = load_serving_artifact(tmp_path)
+    out = served(np.zeros((2, N, 3), np.float32))
+    assert np.isfinite(np.asarray(out['outlines'])).all()
