@@ -68,7 +68,8 @@ def measure_inference(batch, num_points, warmup=1, iters=50,
 
 
 def measure_train_step(batch=30, num_points=2000, steps=50,
-                       compute_dtype=None, edgeconv_train_chunk=None):
+                       compute_dtype=None, edgeconv_train_chunk=None,
+                       f32_conv_layers=()):
     """Published training recipe step time — and, at (128, 10000), the
     stress-config TRAINING step: the chunked rematerialized EdgeConv path
     (ops/edgeconv_train, auto-enabled past 128 MB of gathered edges) keeps
@@ -77,13 +78,15 @@ def measure_train_step(batch=30, num_points=2000, steps=50,
     `compute_dtype='bfloat16'` times the mixed-precision training mode
     (encoder matmuls on the MXU in bf16, params/optimizer/loss in f32 —
     the `nn.compute_dtype` config knob). `edgeconv_train_chunk` overrides
-    the chunked-training sweep width (NN.edgeconv_train_chunk)."""
+    the chunked-training sweep width (NN.edgeconv_train_chunk);
+    `f32_conv_layers` measures the precision-island mode
+    (NN.f32_conv_layers)."""
     return _measure_train_step(batch, num_points, steps, compute_dtype,
-                               edgeconv_train_chunk)
+                               edgeconv_train_chunk, f32_conv_layers)
 
 
 def _measure_train_step(batch, num_points, steps, compute_dtype=None,
-                        edgeconv_train_chunk=None):
+                        edgeconv_train_chunk=None, f32_conv_layers=()):
     """Published training recipe step time: att model at full scale, composed
     loss with quality metrics (configs/att.yaml), Adam, donated buffers.
     Steps are dispatched back-to-back (async) and synced once at the end —
@@ -107,6 +110,8 @@ def _measure_train_step(batch, num_points, steps, compute_dtype=None,
         nn_config['compute_dtype'] = compute_dtype
     if edgeconv_train_chunk:
         nn_config['edgeconv_train_chunk'] = edgeconv_train_chunk
+    if f32_conv_layers:
+        nn_config['f32_conv_layers'] = list(f32_conv_layers)
     model = build_model('GarmentSegmentPattern3D', DATA_CONFIG, nn_config,
                         loss_config)
 

@@ -58,10 +58,17 @@ def main(argv=None):
         data_root = Path(system_info['datasets_path'])
         if args.unseen and (data_root / 'test').exists():
             data_root = data_root / 'test'
+        eval_overrides = {'obj_filetag': args.filetag,
+                          'point_noise_w': args.point_noise}
+        # runs trained before `unseen_data_folders` existed in their config
+        # can take the folder list from the eval yaml (reference keeps it in
+        # the training config, models/att/att.yaml:27-34)
+        unseen_folders = shape_config.get('dataset', {}).get(
+            'unseen_data_folders')
+        if args.unseen and unseen_folders:
+            eval_overrides['unseen_data_folders'] = unseen_folders
         shape_dataset, shape_wrapper = shape_experiment.load_dataset(
-            data_root,
-            {'obj_filetag': args.filetag, 'point_noise_w': args.point_noise},
-            unseen=args.unseen)
+            data_root, eval_overrides, unseen=args.unseen)
         shape_model, shape_variables = shape_experiment.load_model(shape_dataset.config)
 
         section = 'full' if args.unseen else 'test'
