@@ -94,8 +94,19 @@ def main(argv=None):
         stitch_experiment = make_experiment(stitch_config, system_info)
         if not stitch_experiment.is_finished():
             print('Warning::Evaluating unfinished experiment')
+        stitch_overrides = {}
+        if args.unseen:
+            # prediction folders keep ORIGINAL dataset names, so the unseen
+            # list is shared between stages; the stitch yaml may carry its
+            # own, else reuse the shape yaml's
+            stitch_unseen = stitch_config.get('dataset', {}).get(
+                'unseen_data_folders') or shape_config.get('dataset', {}).get(
+                'unseen_data_folders')
+            if stitch_unseen:
+                stitch_overrides['unseen_data_folders'] = stitch_unseen
         stitch_dataset, stitch_wrapper = stitch_experiment.load_dataset(
-            in_datapath, unseen=args.unseen, batch_size=1, load_all=True)
+            in_datapath, stitch_overrides or None, unseen=args.unseen,
+            batch_size=1, load_all=True)
         stitch_dataset.config.update(random_pairs_mode=False)  # all pairs at eval
         stitch_dataset._drop_cache()
         stitch_model, stitch_variables = stitch_experiment.load_model(
