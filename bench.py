@@ -319,17 +319,19 @@ def torch_cpu_baseline():
     """clouds/s of the torch reference model (published att scale) on CPU,
     measured at BOTH the published batch size (30) and at batch 2.
 
-    The two numbers differ by ~4-5x per cloud on this host, and batching UP
-    makes the baseline SLOWER — worth an explanation so `vs_baseline` is
-    unimpeachable: the torch EdgeConv materializes the (B, N, N) pairwise
-    -distance tensor and the (B*N*k, 2C) edge tensor; at batch 30 x 2000
-    points those are ~0.5 GB per layer, far beyond LLC, so the single core
-    runs at DRAM bandwidth, while at batch 2 a large fraction of the
-    working set stays cache-resident. Returns (headline clouds/s at the
-    published batch, {extras}) — the headline divides by the published
-    -batch number (how the reference actually runs); the batch-2 number is
-    reported alongside so the favorable-looking denominator is visibly NOT
-    cherry-picked (batch 2 is the baseline's own best case among the two)."""
+    Measured clean (idle host): ~4.1 clouds/s at batch 30 vs ~5.8 at
+    batch 2 — batching UP costs ~1.4x per cloud because the torch
+    EdgeConv's (B, N, N) distance and (B*N*k, 2C) edge intermediates
+    (~0.5 GB/layer at batch 30) blow past the LLC while batch 2 stays
+    partly cache-resident. This also resolves the earlier cross-round
+    anomaly (6.0 at batch 2 in round 2 vs 1.25 at batch 30 in round 3):
+    the 1.25 reading was taken while another training shared this host's
+    single core — contention, not batching, caused most of that drop.
+    Returns (headline clouds/s at the published batch, {extras}) — the
+    headline divides by the published-batch number (how the reference
+    actually runs); the batch-2 number is reported alongside so the
+    denominator is visibly NOT cherry-picked (batch 2 is the baseline's
+    own best case of the two)."""
     if CACHE.exists():
         payload = json.loads(CACHE.read_text())
         if payload.get('batch') == CPU_BATCH \
