@@ -33,6 +33,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _default_chunk(B, N, k, widest):
+    """Default query-chunk width: size chunks so the WIDEST per-edge tensor
+    (gathered neighbors C or any MLP hidden width — the 2C edge concat never
+    materializes with the factored first layer) stays ~1 GB per sweep step.
+
+    The target was swept on-chip at the 128x10k stress config
+    (parity_run/chunk_sweep.json, docs/Roofline.md): ~2048-wide chunks beat
+    the old 256 MB target's ~524-wide chunks by 4% (4.37 s vs 4.56 s) —
+    fewer sweep steps amortize the per-chunk dispatch; the rematerialized
+    backward keeps only a handful of these live concurrently.
+    """
+    per_row = B * k * widest * 4
+    return max(32, min(N, (1 << 30) // max(per_row, 1)))
+
+
 def _layer_params(mlp_params):
     """[(W, b, gamma, beta)] per layer from an MLP variable subtree
     (params collection: Dense_i / BatchNorm_i, models/blocks.MLP)."""
@@ -97,13 +112,8 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
     L = len(layers)
 
     if chunk is None:
-        # size chunks so the WIDEST per-edge tensor (gathered neighbors C
-        # or any MLP hidden width — the 2C edge concat never materializes
-        # with the factored first layer) stays ~256 MB per sweep step: a
-        # handful of these live concurrently in the rematerialized backward
         widest = max([C] + [w.shape[1] for w, *_ in layers])
-        per_row = B * k * widest * 4
-        chunk = max(32, min(N, (1 << 28) // max(per_row, 1)))
+        chunk = _default_chunk(B, N, k, widest)
     chunk = min(chunk, N)
     pad = (-N) % chunk
     if pad:

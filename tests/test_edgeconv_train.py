@@ -120,3 +120,20 @@ def test_nn_config_chunk_knob_plumbs_through():
             __import__('jax').random.PRNGKey(0),
             __import__('numpy').zeros((2, 16, 3), 'float32'))).encoder
     assert encoder.train_chunk_size == 384
+
+
+def test_default_chunk_matches_swept_target():
+    """The default chunk heuristic targets ~1 GB of widest per-edge tensor
+    per sweep step — the on-chip swept optimum for the 128x10k stress
+    config (parity_run/chunk_sweep.json, docs/Roofline.md). Locks the
+    heuristic so a refactor cannot silently regress the swept 4.4 s step."""
+    from garment_pattern_estimation_tpu.ops.edgeconv_train import _default_chunk
+
+    # stress config: B=128, N=10000, k=5, widest MLP width 200
+    chunk = _default_chunk(128, 10000, 5, 200)
+    assert 1024 <= chunk <= 2560, chunk          # swept-best neighborhood
+    assert chunk * 128 * 5 * 200 * 4 <= (1 << 30)  # <= 1 GB per sweep
+    # small shapes: whole N in one chunk
+    assert _default_chunk(2, 128, 5, 64) == 128
+    # floor: never below 32 even at absurd widths
+    assert _default_chunk(4096, 100000, 40, 4096) == 32
