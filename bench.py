@@ -419,6 +419,14 @@ def main():
         print(f'bench::warning::serving artifact bench failed ({e})',
               file=sys.stderr)
     try:
+        # interactive single-cloud latency of the loaded artifact (full
+        # operating curve: parity_run/serving_sweep.json, Running.md)
+        extras['serving_latency_b1_ms'] = round(
+            1e3 / measure_serving_artifact(batch=1, iters=2000), 3)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::serving b1 latency bench failed ({e})',
+              file=sys.stderr)
+    try:
         baseline, cpu_payload = torch_cpu_baseline()
         extras['torch_reference_cpu_clouds_per_sec'] = round(baseline, 3)
         extras['torch_reference_cpu_clouds_per_sec_batch2'] = round(

@@ -15,19 +15,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import bench  # noqa: E402
 
 OUT = Path(__file__).parent / 'serving_sweep.json'
-BATCHES = [1, 8, 32, 64, 128, 256]
+# iteration counts sized so the fixed ~30 ms tunnel-dispatch cost is <3%
+# of the timed on-device loop at every batch (small batches need thousands
+# of iterations: b=1 runs ~0.22 ms/dispatch)
+BATCHES = [(1, 5000), (8, 1000), (32, 250), (64, 100), (128, 50), (256, 50)]
 
 results = []
-for b in BATCHES:
+for b, iters in BATCHES:
     t0 = time.time()
     try:
-        clouds_per_sec = bench.measure_serving_artifact(batch=b, iters=50)
-        row = {'batch': b,
+        clouds_per_sec = bench.measure_serving_artifact(batch=b, iters=iters)
+        row = {'batch': b, 'iters': iters,
                'latency_ms': round(b / clouds_per_sec * 1e3, 3),
                'clouds_per_sec': round(clouds_per_sec, 1),
                'wall_s': round(time.time() - t0, 1)}
     except Exception as e:  # noqa: BLE001
-        row = {'batch': b, 'error': f'{type(e).__name__}: {e}',
+        row = {'batch': b, 'iters': iters,
+               'error': f'{type(e).__name__}: {e}',
                'wall_s': round(time.time() - t0, 1)}
     results.append(row)
     print(json.dumps(row), flush=True)
