@@ -329,12 +329,20 @@ class ExperimentWrappper:
         dataset.standardize()  # stats must already be in the stored config
         return dataset, wrapper
 
-    def load_model(self, data_config, use_pallas=None, alias='best'):
+    def load_model(self, data_config, use_pallas=None, alias='best',
+                   nn_overrides=None):
         """Rebuild the model from the stored NN config and load weights.
-        Returns (GarmentModel, variables)."""
+        Returns (GarmentModel, variables).
+
+        `nn_overrides` patches the stored NN config before the rebuild —
+        meant for knobs that change compute but not parameters (e.g. the
+        precision islands `compute_dtype` / `f32_conv_layers` /
+        `f32_attention_mlp`), so one checkpoint can be evaluated under
+        several precision configurations (parity_run/precision_probe.py)."""
         from ..models import build_model
 
         nn_config = dict(self.NN_config())
+        nn_config.update(nn_overrides or {})
         loss_config = nn_config.get('loss', {})
         model = build_model(nn_config.get('model', 'GarmentSegmentPattern3D'),
                             data_config, nn_config, loss_config,

@@ -68,6 +68,11 @@ class GarmentFullPattern3DModule(nn.Module):
     # placement-safe mixed-precision mode keeps conv0 (raw-geometry layer)
     # exact while the wide conv1 matmuls ride the MXU in bf16
     f32_conv_layers: tuple = ()
+    # keep the attention head (point_segment_mlp) f32 under bf16 compute —
+    # a precision island complementary to f32_conv_layers: the attention
+    # MLP is tiny (B·N×~153 rows) so exempting it costs ~nothing while
+    # the sparsemax routing weights stay exact (attention model only)
+    f32_attention_mlp: bool = False
     # chunk size for the chunked EdgeConv training path (NN.edgeconv_train_chunk)
     edgeconv_train_chunk: int | None = None
 
@@ -176,7 +181,9 @@ class GarmentSegmentPattern3DModule(GarmentFullPattern3DModule):
             att_in += 3  # raw xyz concatenated by the encoder
         self.point_segment_mlp = blocks.MLP(
             [att_in, att_in, self.max_pattern_size],
-            compute_dtype=self.compute_dtype, name='point_segment_mlp')
+            compute_dtype=(None if self.f32_attention_mlp
+                           else self.compute_dtype),
+            name='point_segment_mlp')
         self.panel_dec_lin = nn.Dense(self.panel_encoding_size, name='panel_dec_lin')
 
     def panel_encodings_from_3d(self, positions, train=False):

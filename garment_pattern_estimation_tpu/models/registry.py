@@ -108,6 +108,8 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
     # precision islands: conv layer ids kept f32 under bf16 compute
     # (NN.f32_conv_layers: [0] = the placement-safe mixed-precision mode)
     f32_conv_layers = tuple(nn_config.pop('f32_conv_layers', ()) or ())
+    # keep the attention head f32 under bf16 compute (attention model only)
+    f32_attention_mlp = bool(nn_config.pop('f32_attention_mlp', False))
     # chunked-EdgeConv training sweep width (stress-scale tuning knob)
     edgeconv_train_chunk = nn_config.pop('edgeconv_train_chunk', None)
     loss_config = dict(loss_config or {})
@@ -137,6 +139,7 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
             use_pallas=use_pallas,
             compute_dtype=compute_dtype,
             f32_conv_layers=f32_conv_layers,
+            f32_attention_mlp=f32_attention_mlp,
             edgeconv_train_chunk=edgeconv_train_chunk,
         )
         for key, value in config.items():
@@ -152,6 +155,14 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
         merged = dict(config)
         merged['model'] = model_name
         merged['loss'] = loss.config
+        # re-attach the keys popped above: the trainer stores this merged
+        # config as the run's NN section (trainer.py::add_config), and
+        # load_model rebuilds from it — without these, a bf16/island run
+        # would silently reload as plain f32 and lose its chunk override
+        merged['compute_dtype'] = compute_dtype
+        merged['f32_conv_layers'] = list(f32_conv_layers)
+        merged['f32_attention_mlp'] = f32_attention_mlp
+        merged['edgeconv_train_chunk'] = edgeconv_train_chunk
         return GarmentModel(model_name, module, merged, loss)
 
     if model_name == 'StitchOnEdge3DPairs':

@@ -331,3 +331,33 @@ def test_f32_conv_layers_precision_island(train):
     np.testing.assert_array_equal(points(all_exempt), points(f32))
     assert points(conv0_only).dtype == np.float32
     assert np.abs(points(conv0_only) - points(full_bf16)).max() > 0
+
+
+def test_f32_attention_mlp_island():
+    """`f32_attention_mlp` exempts the attention head from bf16 compute:
+    with both convs also exempted the full forward is bit-identical to the
+    all-f32 model (same params); without it, bf16 in the attention MLP
+    changes the outputs. Checked through build_model so the NN-config key
+    round-trips the registry."""
+    from garment_pattern_estimation_tpu.models import build_model
+
+    nn = dict(NN_CONFIG, model='GarmentSegmentPattern3D')
+
+    def forward(extra):
+        model = build_model('GarmentSegmentPattern3D', DATA_CONFIG,
+                            {**nn, **extra}, {}, use_pallas=False)
+        variables = model.init_variables(jax.random.PRNGKey(0),
+                                         jnp.zeros((2, 32, 3)), train=False)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+        return model.apply(variables, x, train=False)
+
+    f32 = forward({})
+    islands = forward({'compute_dtype': 'bfloat16',
+                       'f32_conv_layers': [0, 1], 'f32_attention_mlp': True})
+    bf16_att = forward({'compute_dtype': 'bfloat16',
+                        'f32_conv_layers': [0, 1]})
+    np.testing.assert_array_equal(np.asarray(islands['translations']),
+                                  np.asarray(f32['translations']))
+    assert np.abs(np.asarray(bf16_att['att_weights'])
+                  - np.asarray(f32['att_weights'])).max() > 0
