@@ -16,6 +16,7 @@ Counterpart of nn/trainer.py, TPU-first:
 """
 from __future__ import annotations
 
+import copy
 import time
 import traceback
 from pathlib import Path
@@ -132,7 +133,8 @@ class Trainer:
     # the duplicates — a smaller deviation than DataParallel's own per-GPU BN.
 
     def _train_step_fn(self, model, tx, phase, real_size):
-        key = ('train', phase, real_size)
+        key = ('train', phase, real_size,
+               getattr(model.module, 'compute_dtype', None))
         if key in self._step_cache:
             return self._step_cache[key]
         stitch_phase, order_random = phase
@@ -173,7 +175,8 @@ class Trainer:
         return jitted
 
     def _eval_step_fn(self, model, phase, real_size):
-        key = ('eval', phase, real_size)
+        key = ('eval', phase, real_size,
+               getattr(model.module, 'compute_dtype', None))
         if key in self._step_cache:
             return self._step_cache[key]
         stitch_phase, order_random = phase
@@ -311,7 +314,31 @@ class Trainer:
         loss_config = model.loss.config
         log_step = step_count - 1
 
+        # precision tail (trainer.f32_tail_epochs): under bf16 compute, run
+        # the LAST K scheduled epochs in f32. The bf16 placement regression
+        # is a training-dynamics effect, not forward quantization
+        # (parity_run/precision_probe.json: eval-time bf16 moves placement
+        # <0.5% while bf16 *training* costs ~1.7x) — so the fix is to take
+        # the cheap bf16 steps through the OneCycle ramp and descend the
+        # low-LR tail, where placement terms converge, at full precision.
+        # Same parameters/optimizer state throughout; only the jitted step
+        # is rebuilt (one extra compile at the boundary, like the stitch
+        # phase change).
+        f32_tail = int(self.setup.get('f32_tail_epochs', 0) or 0)
+        tail_start = self.setup['epochs'] - f32_tail if f32_tail else None
+        tail_model = None
+
         for epoch in range(start_epoch, self.setup['epochs']):
+            active_model = model
+            if (tail_start is not None and epoch >= tail_start
+                    and getattr(model.module, 'compute_dtype', None)):
+                if tail_model is None:
+                    tail_model = copy.copy(model)
+                    tail_model.module = model.module.clone(compute_dtype=None)
+                    print(f'Trainer::precision tail: compute_dtype '
+                          f'{model.module.compute_dtype} -> float32 for the '
+                          f'final {self.setup["epochs"] - epoch} epochs')
+                active_model = tail_model
             phase = self._phase_of(loss_config, epoch)
             last_loss = np.nan
 
@@ -324,7 +351,7 @@ class Trainer:
                 step_start = time.perf_counter()
                 self._maybe_profile(step_count)
                 placed, real_size = self._place_batch(batch)
-                train_step = self._train_step_fn(model, tx, phase, real_size)
+                train_step = self._train_step_fn(active_model, tx, phase, real_size)
                 rng = jax.random.fold_in(self._root_key, step_count + 1)
                 params, batch_stats, opt_state, loss, loss_dict = train_step(
                     params, batch_stats, opt_state, placed, rng)
@@ -367,7 +394,7 @@ class Trainer:
             valid_losses = []
             for batch in valid_loader:
                 placed, real_size = self._place_batch(batch)
-                eval_step = self._eval_step_fn(model, phase, real_size)
+                eval_step = self._eval_step_fn(active_model, phase, real_size)
                 rng = jax.random.fold_in(self._root_key, 2 ** 20 + epoch)
                 vloss, _ = eval_step(params, batch_stats, placed, rng)
                 valid_losses.append(vloss)

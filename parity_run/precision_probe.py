@@ -54,9 +54,14 @@ def main(argv=None):
     parser.add_argument('-c', '--config', default='demo_configs/shape_full.yaml')
     parser.add_argument('--system', default='./system.json')
     parser.add_argument('-o', '--out', default='parity_run/precision_probe.json')
+    parser.add_argument('--run_id', default=None,
+                        help='run id of the finished experiment (overrides '
+                             'the yaml, which usually ships run_id: null)')
     args = parser.parse_args(argv)
 
     config = load_yaml(args.config)
+    if args.run_id:
+        config.setdefault('experiment', {})['run_id'] = args.run_id
     system_info = system_properties(args.system)
     experiment = make_experiment(config, system_info)
     if not experiment.is_finished():

@@ -157,3 +157,38 @@ def test_onecycle_schedule_never_nan():
     trainer._make_optimizer(steps_per_epoch=1)
     values = [float(trainer.schedule(i)) for i in range(6)]
     assert all(np.isfinite(values)), values
+
+
+def test_f32_precision_tail(synthetic_dataset_root, tmp_path_factory, capsys):
+    """`trainer.f32_tail_epochs` under bf16 compute switches the jitted
+    steps to f32 for the last K scheduled epochs: training completes, the
+    switch is announced once, params keep improving across the boundary
+    (same optimizer state), and the final checkpoint evaluates cleanly."""
+    out_dir = tmp_path_factory.mktemp('experiments')
+    dataset = Garment3DPatternFullDataset(
+        synthetic_dataset_root,
+        {'data_folders': FOLDERS, 'mesh_samples': 60,
+         'panel_classification': str(synthetic_dataset_root / 'panel_classes.json')},
+        gt_caching=True, feature_caching=True)
+    experiment = ExperimentWrappper(
+        {'experiment': {'project_name': 'test-project', 'run_name': 'tail'}},
+        output_root=out_dir)
+    setup = dict(TRAINER_SETUP, epochs=3, f32_tail_epochs=1)
+    trainer = Trainer(setup, experiment, dataset,
+                      {'valid_per_type': 1, 'test_per_type': 1, 'type': 'count',
+                       'random_seed': 10},
+                      with_norm=True, with_visualization=False)
+    trainer.init_randomizer()
+    model = build_model('GarmentSegmentPattern3D', dataset.config,
+                        dict(NN_CONFIG, compute_dtype='bfloat16'),
+                        LOSS_CONFIG, use_pallas=False)
+    variables, _ = trainer.fit(model)
+
+    out = capsys.readouterr().out
+    assert out.count('precision tail: compute_dtype bfloat16 -> float32') == 1
+    # both precisions compiled a train step (cache keyed on compute_dtype)
+    train_keys = [k for k in trainer._step_cache if k[0] == 'train']
+    assert {k[-1] for k in train_keys} == {'bfloat16', None}
+    # the run produced a usable final state
+    metrics = eval_metrics(model, variables, trainer.datawrapper, 'test')
+    assert np.isfinite(metrics['full_loss'])
