@@ -106,8 +106,23 @@ def main(argv=None):
     dataset.config['origin_matching'] = bool(
         model.loss.config.get('panel_origin_invariant_loss', False))
 
+    # --- warm start (fine-tuning) ---
+    # `dataset.old_experiment.weights: true` initializes from that run's
+    # best checkpoint instead of random init: a fresh run id, a fresh
+    # optimizer/schedule, pre-trained parameters. Extends the reference's
+    # old_experiment flows (its pre-trained fallback lives only in eval,
+    # experiment.py:311-335); pair with `stats: true` so the new run keeps
+    # the standardization the pre-trained weights were fit under.
+    warm_variables = None
+    if old and old.get('weights'):
+        source = make_experiment({'experiment': old}, system_info)
+        checkpoint = source.get_best_model()
+        warm_variables = checkpoint['variables'] \
+            if 'variables' in checkpoint else checkpoint
+        print(f'Train::warm start from {source.full_name()} (best checkpoint)')
+
     # --- train ---
-    variables, _ = trainer.fit(model)
+    variables, _ = trainer.fit(model, variables=warm_variables)
 
     # --- final evaluation on the best checkpoint ---
     try:

@@ -155,3 +155,41 @@ def test_predict_per_example_cli(trained_run, cli_env, synthetic_dataset_root):
     specs = list(Path(out).rglob('*specification.json'))
     assert len(specs) >= 0  # decode can legitimately fail at near-random init
     assert (Path(out) / 'shape').exists()
+
+
+def test_train_cli_warm_start(trained_run, cli_env):
+    """`dataset.old_experiment.weights: true` fine-tunes from a previous
+    run's best checkpoint: the new run starts at the source's converged
+    loss level (first logged loss well below a scratch run's first loss)
+    and produces its own checkpoints."""
+    from garment_pattern_estimation_tpu.cli import train as train_cli
+    workdir, config_file, config = cli_env
+
+    ft_config = yaml.safe_load(config_file.read_text())
+    ft_config['experiment'] = {'project_name': 'cli-test',
+                               'run_name': 'finetune', 'run_id': None}
+    ft_config['dataset']['old_experiment'] = {
+        'project_name': 'cli-test', 'run_name': trained_run.run_name,
+        'run_id': trained_run.run_id, 'stats': True, 'weights': True}
+    ft_config['trainer']['epochs'] = 1
+    ft_file = workdir / 'finetune.yaml'
+    ft_file.write_text(yaml.safe_dump(ft_config))
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        ft_run = train_cli.main(['-c', str(ft_file),
+                                 '--system', str(workdir / 'system.json')])
+    finally:
+        os.chdir(cwd)
+
+    assert ft_run.run_id != trained_run.run_id
+
+    def first_loss(run):
+        first = json.loads(
+            (run.run_dir() / 'metrics.jsonl').read_text().splitlines()[0])
+        return first['loss']
+
+    # warm start resumes the loss level the source converged to
+    assert first_loss(ft_run) < first_loss(trained_run) * 0.9
+    assert (ft_run.run_dir() / 'checkpoints' / 'aliases.json').exists()
