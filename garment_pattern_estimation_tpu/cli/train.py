@@ -69,8 +69,13 @@ def main(argv=None):
             sections=['train', 'validation', 'test'])
         datasets_path = merge_repos(pred_path, ['train', 'validation', 'test'])
     if old and old.get('stats'):
-        config['data_split'], config['dataset'] = get_old_data_config(
+        old_split, config['dataset'] = get_old_data_config(
             dataset_section, system_info, system_info['output'])
+        # fine-tuning (weights: true) on a different dataset composition
+        # keeps its OWN split when one is given: the stored split indexes
+        # the source run's folders and would drop every new-type datapoint
+        if not (old.get('weights') and config.get('data_split')):
+            config['data_split'] = old_split
 
     # --- dataset ---
     from ..data import DATASET_REGISTRY

@@ -76,7 +76,8 @@ class Trainer:
 
     # ------------- optimizer -------------
     def _make_optimizer(self, steps_per_epoch):
-        lr = self.setup['learning_rate']
+        # float(): PyYAML 1.1 parses '5e-4'-style exponents as strings
+        lr = float(self.setup['learning_rate'])
         if 'lr_scheduling' in self.setup and self.setup['lr_scheduling'] is not None:
             # torch OneCycleLR defaults: pct_start=0.3, cos anneal,
             # div_factor=25, final_div_factor=1e4.
@@ -91,7 +92,7 @@ class Trainer:
             self.schedule = optax.constant_schedule(lr)
             print('Trainer::Warning::no learning-rate scheduling set')
 
-        weight_decay = self.setup.get('weight_decay', 0) or 0
+        weight_decay = float(self.setup.get('weight_decay', 0) or 0)
         if self.setup.get('optimizer', 'SGD') == 'Adam':
             print('Trainer::Using Adam optimizer')
             opt = optax.adam(self.schedule)
@@ -433,6 +434,19 @@ class Trainer:
 
             if self._early_stopping(es_tracking, last_loss, best_valid_loss,
                                     float(self.schedule(step_count))):
+                if (tail_start is not None and tail_model is None
+                        and not np.isnan(last_loss)
+                        and getattr(model.module, 'compute_dtype', None)):
+                    # the bf16 phase converged before the scheduled tail
+                    # boundary: enter the f32 tail NOW instead of stopping —
+                    # the precision switch changes the loss surface the stop
+                    # rule was tracking, and skipping the remaining flat
+                    # bf16 epochs spends the budget where it matters
+                    tail_start = epoch + 1
+                    es_tracking.clear()
+                    print('Trainer::early-stop signal in the bf16 phase -> '
+                          'entering the f32 precision tail early')
+                    continue
                 print('Trainer::Stopped training early')
                 break
 
@@ -498,8 +512,10 @@ class Trainer:
             return True
         if best_valid is not None:  # None while no finite validation yet
             es_tracking.append(float(best_valid))
-        patience = self.setup.get('early_stopping', {}).get('patience', 50)
-        window = self.setup.get('early_stopping', {}).get('window', 1e-4)
+        # float() both: PyYAML 1.1 parses exponent forms without a sign
+        # ('1e9', '3e-4') as strings, and they reach here unconverted
+        patience = int(self.setup.get('early_stopping', {}).get('patience', 50))
+        window = float(self.setup.get('early_stopping', {}).get('window', 1e-4))
         if len(es_tracking) > patience + 1:
             es_tracking.pop(0)
             if abs(max(es_tracking) - min(es_tracking)) < window:

@@ -192,3 +192,39 @@ def test_f32_precision_tail(synthetic_dataset_root, tmp_path_factory, capsys):
     # the run produced a usable final state
     metrics = eval_metrics(model, variables, trainer.datawrapper, 'test')
     assert np.isfinite(metrics['full_loss'])
+
+
+def test_f32_tail_entered_on_early_stop(synthetic_dataset_root,
+                                        tmp_path_factory, capsys):
+    """An early-stop signal during the bf16 phase enters the f32 tail
+    (rather than ending the run before the tail was reached); a second
+    early-stop signal inside the tail then genuinely stops."""
+    out_dir = tmp_path_factory.mktemp('experiments')
+    dataset = Garment3DPatternFullDataset(
+        synthetic_dataset_root,
+        {'data_folders': FOLDERS, 'mesh_samples': 60,
+         'panel_classification': str(synthetic_dataset_root / 'panel_classes.json')},
+        gt_caching=True, feature_caching=True)
+    experiment = ExperimentWrappper(
+        {'experiment': {'project_name': 'test-project', 'run_name': 'tailjump'}},
+        output_root=out_dir)
+    # patience 0 + huge window: the flat-window rule fires every epoch
+    # after the first two — long before the scheduled tail boundary
+    setup = dict(TRAINER_SETUP, epochs=40, f32_tail_epochs=5,
+                 early_stopping={'window': 1e9, 'patience': 0})
+    trainer = Trainer(setup, experiment, dataset,
+                      {'valid_per_type': 1, 'test_per_type': 1, 'type': 'count',
+                       'random_seed': 10},
+                      with_norm=True, with_visualization=False)
+    trainer.init_randomizer()
+    model = build_model('GarmentSegmentPattern3D', dataset.config,
+                        dict(NN_CONFIG, compute_dtype='bfloat16'),
+                        LOSS_CONFIG, use_pallas=False)
+    trainer.fit(model)
+
+    out = capsys.readouterr().out
+    assert 'entering the f32 precision tail early' in out
+    assert out.count('precision tail: compute_dtype bfloat16 -> float32') == 1
+    assert 'Stopped training early' in out       # the tail itself then stops
+    # the run did not burn the full 40-epoch budget
+    assert out.count('Validation Loss') < 12
