@@ -171,6 +171,10 @@ def test_train_cli_warm_start(trained_run, cli_env):
     ft_config['dataset']['old_experiment'] = {
         'project_name': 'cli-test', 'run_name': trained_run.run_name,
         'run_id': trained_run.run_id, 'stats': True, 'weights': True}
+    # fine-tuning keeps the config's OWN split (the stored split indexes the
+    # source run's folders): distinguishable from the source's split here
+    ft_config['data_split'] = {'valid_per_type': 2, 'test_per_type': 1,
+                               'type': 'count', 'random_seed': 10}
     ft_config['trainer']['epochs'] = 1
     ft_file = workdir / 'finetune.yaml'
     ft_file.write_text(yaml.safe_dump(ft_config))
@@ -193,3 +197,11 @@ def test_train_cli_warm_start(trained_run, cli_env):
     # warm start resumes the loss level the source converged to
     assert first_loss(ft_run) < first_loss(trained_run) * 0.9
     assert (ft_run.run_dir() / 'checkpoints' / 'aliases.json').exists()
+
+    # ... with the fine-tune's OWN split, not the source run's stored one
+    ft_saved = json.loads((ft_run.run_dir() / 'config.json').read_text())
+    assert ft_saved['data_split']['valid_per_type'] == 2
+    # ... but the SOURCE run's standardization (stats: true)
+    src_saved = json.loads((trained_run.run_dir() / 'config.json').read_text())
+    assert (ft_saved['dataset']['standardize'] ==
+            src_saved['dataset']['standardize'])
