@@ -347,7 +347,8 @@ class ExperimentWrappper:
         model = build_model(nn_config.get('model', 'GarmentSegmentPattern3D'),
                             data_config, nn_config, loss_config,
                             use_pallas=use_pallas)
-        checkpoint = self.get_best_model()
+        checkpoint = (self.get_best_model() if alias == 'best'
+                      else self.get_checkpoint_file(alias))
         variables = checkpoint['variables'] if 'variables' in checkpoint else checkpoint
         return model, variables
 

@@ -1,6 +1,7 @@
 """End-to-end smoke: train the attention model on the synthetic dataset for a
 few epochs through the full Trainer/ExperimentWrappper stack, evaluate, save
 predictions, and resume from checkpoints."""
+import jax
 import numpy as np
 import pytest
 
@@ -79,6 +80,28 @@ def test_checkpoints_and_best_alias(trained):
     ckpt = experiment.get_checkpoint_file('best')
     assert 'variables' in ckpt and 'opt_state' in ckpt
     assert ckpt['epoch'] <= 2
+
+
+def test_load_model_honors_alias(trained):
+    # load_model(alias=...) must load THAT checkpoint, not silently 'best'
+    # (used by checkpoint-selection probes; regression: alias was ignored).
+    dataset, experiment, *_ = trained
+    if experiment._aliases()['latest'] == experiment._aliases()['best']:
+        # force best != latest: save a perturbed state, which only bumps
+        # the 'latest' alias
+        ckpt = experiment.get_checkpoint_file('best')
+        perturbed = dict(ckpt)
+        perturbed['variables'] = jax.tree_util.tree_map(
+            lambda x: x + 1.0 if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else x, ckpt['variables'])
+        experiment.save_checkpoint(perturbed)
+    assert experiment._aliases()['latest'] != experiment._aliases()['best']
+    _, vars_best = experiment.load_model(dataset.config, alias='best')
+    _, vars_latest = experiment.load_model(dataset.config, alias='latest')
+    leaves_b = jax.tree_util.tree_leaves(vars_best)
+    leaves_l = jax.tree_util.tree_leaves(vars_latest)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_b, leaves_l))
 
 
 def test_eval_metrics_full_stack(trained):
