@@ -44,6 +44,24 @@ class Trainer:
         self.device_sampler = None  # set in fit() once the config is final
         self._step_cache = {}
 
+        # trainer.best_by: checkpoint-selection monitor. Default (absent):
+        # lowest total validation loss, the reference's rule. When set to a
+        # validation metric key (e.g. 'num_edges_accuracy'), 'best' tracks
+        # that metric — higher-is-better for accuracy/precision/recall
+        # names, lower-is-better otherwise — with equal-monitor ties broken
+        # by the total validation loss. Motivation: after the epoch-40
+        # stitch-loss structure change, total valid loss stops tracking the
+        # threshold-style edge-count metric (a best-val checkpoint measured
+        # 0.42 edge accuracy while the same run's later checkpoints sit at
+        # 1.0 — parity_run/lstm_rerun_ckpt_probe.json).
+        self._monitor_key = self.setup.get('best_by') or None
+        self._monitor_max = bool(self._monitor_key) and any(
+            t in self._monitor_key for t in ('acc', 'precision', 'recall'))
+        # quality metrics (accuracies/L2s) only exist in the loss dict when
+        # quality eval is on; plain loss components end in '_loss'
+        self._monitor_needs_quality = bool(
+            self._monitor_key and not self._monitor_key.endswith('loss'))
+
         if dataset is not None:
             self.use_dataset(dataset, data_split or {})
 
@@ -199,7 +217,21 @@ class Trainer:
             preds = jax.tree_util.tree_map(lambda x: x[:real_size], preds)
             gt = jax.tree_util.tree_map(lambda x: x[:real_size],
                                         ground_truth)
-            loss, loss_dict, _ = model.loss(preds, gt, epoch=epoch_c, rng=rng)
+            # trainer.best_by on a quality metric (e.g. num_edges_accuracy)
+            # needs quality eval in the per-epoch validation pass; the flag
+            # is read at trace time, so toggle it only around this call —
+            # the cached *train* steps keep tracing without quality metrics
+            want_quality = (self._monitor_needs_quality
+                            and hasattr(model.loss, 'with_quality_eval'))
+            prev_quality = getattr(model.loss, 'with_quality_eval', False)
+            if want_quality:
+                model.loss.with_quality_eval = True
+            try:
+                loss, loss_dict, _ = model.loss(preds, gt, epoch=epoch_c,
+                                                rng=rng)
+            finally:
+                if want_quality:
+                    model.loss.with_quality_eval = prev_quality
             return loss, loss_dict
 
         jitted = jax.jit(step)
@@ -311,6 +343,8 @@ class Trainer:
 
         # --- epoch loop ---
         best_valid_loss = self.experiment.last_best_validation_loss()
+        best_monitor = self.experiment.summary.get('best_monitor') \
+            if self._monitor_key else None
         es_tracking = []
         loss_config = model.loss.config
         log_step = step_count - 1
@@ -392,16 +426,25 @@ class Trainer:
                 self.experiment.log(log_record, step=lstep)
 
             # --- validation pass (sync once at the end) ---
-            valid_losses = []
+            valid_losses, valid_monitors = [], []
             for batch in valid_loader:
                 placed, real_size = self._place_batch(batch)
                 eval_step = self._eval_step_fn(active_model, phase, real_size)
                 rng = jax.random.fold_in(self._root_key, 2 ** 20 + epoch)
-                vloss, _ = eval_step(params, batch_stats, placed, rng)
+                vloss, vdict = eval_step(params, batch_stats, placed, rng)
                 valid_losses.append(vloss)
+                if self._monitor_key:
+                    if self._monitor_key not in vdict:
+                        raise KeyError(
+                            f'Trainer::best_by metric {self._monitor_key!r} '
+                            f'not in the validation loss dict; available: '
+                            f'{sorted(vdict)}')
+                    valid_monitors.append(vdict[self._monitor_key])
             # stack on device first: one transfer, not one per batch
             valid_loss = float(jnp.mean(jnp.stack(valid_losses))) \
                 if valid_losses else float('nan')
+            valid_monitor = float(jnp.mean(jnp.stack(valid_monitors))) \
+                if valid_monitors else None
 
             # loss structure updated this epoch? -> reset 'best'
             structure_update = (
@@ -414,19 +457,27 @@ class Trainer:
             # a NaN validation loss must never latch into best_valid_loss:
             # 'x < nan' is always False, so one bad epoch would pin the
             # 'best' alias (and disable the flat-window early stop) forever
-            improved = np.isfinite(valid_loss) and (
-                best_valid_loss is None or not np.isfinite(best_valid_loss)
-                or valid_loss < best_valid_loss)
+            improved = self._best_update(valid_loss, valid_monitor,
+                                         best_valid_loss, best_monitor,
+                                         self._monitor_max)
             if structure_update or improved:
                 best_valid_loss = valid_loss if np.isfinite(valid_loss) else None
+                if valid_monitor is not None:
+                    best_monitor = valid_monitor \
+                        if np.isfinite(valid_monitor) else None
                 self._save_checkpoint(params, batch_stats, opt_state, epoch,
                                       step_count, best=True)
             else:
                 self._save_checkpoint(params, batch_stats, opt_state, epoch, step_count)
 
             print(f'Epoch: {epoch}, Validation Loss: {valid_loss}')
-            self.experiment.log({'epoch': epoch, 'valid_loss': valid_loss,
-                                 'best_valid_loss': best_valid_loss}, step=log_step)
+            epoch_record = {'epoch': epoch, 'valid_loss': valid_loss,
+                            'best_valid_loss': best_valid_loss}
+            if valid_monitor is not None:
+                epoch_record[f'valid_{self._monitor_key}'] = valid_monitor
+                epoch_record['best_monitor'] = best_monitor
+                self.experiment.add_statistic('best_monitor', best_monitor)
+            self.experiment.log(epoch_record, step=log_step)
             self.experiment.add_statistic('best_valid_loss', best_valid_loss)
 
             if self.log_with_visualization:
@@ -504,6 +555,33 @@ class Trainer:
                  'variables': {'params': params, 'batch_stats': batch_stats},
                  'opt_state': opt_state}
         self.experiment.save_checkpoint(state, aliases=['best'] if best else [])
+
+    @staticmethod
+    def _best_update(valid_loss, valid_monitor, best_valid_loss, best_monitor,
+                     monitor_max):
+        """Should this epoch become the 'best' checkpoint?
+
+        valid_monitor None -> the reference rule: lowest finite total
+        validation loss. With a monitor (trainer.best_by): strictly better
+        monitor wins; an exactly-equal monitor falls back to the total
+        validation loss as tie-break (so e.g. among edge-accuracy-1.0
+        epochs the lowest-loss one is kept). NaNs never latch."""
+        if valid_monitor is None:
+            return np.isfinite(valid_loss) and (
+                best_valid_loss is None or not np.isfinite(best_valid_loss)
+                or valid_loss < best_valid_loss)
+        if not np.isfinite(valid_monitor):
+            return False
+        if best_monitor is None or not np.isfinite(best_monitor):
+            return True
+        sign = 1.0 if monitor_max else -1.0
+        if sign * valid_monitor > sign * best_monitor:
+            return True
+        return (valid_monitor == best_monitor
+                and np.isfinite(valid_loss)
+                and (best_valid_loss is None
+                     or not np.isfinite(best_valid_loss)
+                     or valid_loss < best_valid_loss))
 
     def _early_stopping(self, es_tracking, last_loss, best_valid, last_lr):
         if np.isnan(last_loss):
