@@ -137,6 +137,19 @@ def main(argv=None):
         print(e)            # silently continue into four eval sections
         print('Train::Warning::evaluating with the current (final) model state')
 
+    if (config['trainer'].get('f32_tail_epochs')
+            and config['NN'].get('compute_dtype')):
+        # the best checkpoint of a bf16+tail run comes from the f32 tail:
+        # evaluate it at f32 too, not through the in-memory bf16 forward
+        # (eval-time bf16 on an f32 checkpoint skews placement <0.5% —
+        # parity_run/precision_probe.json — but zero is cheaper than small)
+        print('Train::f32 tail run: final eval with an f32 forward')
+        model = build_model(config['NN'].get('model', 'GarmentSegmentPattern3D'),
+                            dataset.config,
+                            dict(config['NN'], compute_dtype=None),
+                            config['NN'].get('loss', {}), use_pallas=use_pallas)
+        model.loss.with_quality_eval = True
+
     datawrapper = trainer.datawrapper
     experiment.add_statistic('valid_on_best',
                              eval_metrics(model, variables, datawrapper, 'validation'),

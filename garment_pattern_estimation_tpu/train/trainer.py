@@ -33,6 +33,16 @@ from ..preprocess.device_sampling import maybe_batch_sampler
 
 
 class Trainer:
+    # class-level defaults: helper methods (_eval_step_fn, _place_batch, …)
+    # must work on partially-constructed Trainers too (tests and probes build
+    # them via Trainer.__new__ to drive a single step without a dataset)
+    _monitor_key = None
+    _monitor_max = False
+    _monitor_needs_quality = False
+    _monitor_warned_absent = False
+    device_sampler = None
+    mesh = None
+
     def __init__(self, setup, experiment_tracker, dataset=None, data_split=None,
                  with_norm=True, with_visualization=False, mesh=None):
         self.experiment = experiment_tracker
@@ -55,12 +65,29 @@ class Trainer:
         # 0.42 edge accuracy while the same run's later checkpoints sit at
         # 1.0 — parity_run/lstm_rerun_ckpt_probe.json).
         self._monitor_key = self.setup.get('best_by') or None
-        self._monitor_max = bool(self._monitor_key) and any(
-            t in self._monitor_key for t in ('acc', 'precision', 'recall'))
+        # direction: explicit trainer.best_by_mode ('max'/'min') wins;
+        # otherwise inferred from the name (accuracy/precision/recall names
+        # maximize, anything else minimizes) — and announced, so a silently
+        # minimized higher-is-better metric is visible at startup
+        mode = self.setup.get('best_by_mode')
+        if mode is not None and mode not in ('max', 'min'):
+            raise ValueError(f"Trainer::best_by_mode must be 'max' or 'min', "
+                             f'got {mode!r}')
+        if mode is not None:
+            self._monitor_max = mode == 'max'
+        else:
+            self._monitor_max = bool(self._monitor_key) and any(
+                t in self._monitor_key for t in ('acc', 'precision', 'recall'))
+        if self._monitor_key:
+            print(f"Trainer::best checkpoint tracks '{self._monitor_key}' "
+                  f"({'maximize' if self._monitor_max else 'minimize'}"
+                  f"{', inferred' if mode is None else ''}), "
+                  'ties broken by validation loss')
         # quality metrics (accuracies/L2s) only exist in the loss dict when
         # quality eval is on; plain loss components end in '_loss'
         self._monitor_needs_quality = bool(
             self._monitor_key and not self._monitor_key.endswith('loss'))
+        self._monitor_warned_absent = False
 
         if dataset is not None:
             self.use_dataset(dataset, data_split or {})
@@ -361,6 +388,12 @@ class Trainer:
         # phase change).
         f32_tail = int(self.setup.get('f32_tail_epochs', 0) or 0)
         tail_start = self.setup['epochs'] - f32_tail if f32_tail else None
+        # a run that entered the tail early (early-stop jump below) and is
+        # later resumed must stay in the f32 tail — the entry epoch is
+        # persisted to the run summary and restored here
+        stored_tail = self.experiment.summary.get('f32_tail_entered')
+        if tail_start is not None and stored_tail is not None:
+            tail_start = min(tail_start, int(stored_tail))
         tail_model = None
 
         for epoch in range(start_epoch, self.setup['epochs']):
@@ -435,11 +468,20 @@ class Trainer:
                 valid_losses.append(vloss)
                 if self._monitor_key:
                     if self._monitor_key not in vdict:
-                        raise KeyError(
-                            f'Trainer::best_by metric {self._monitor_key!r} '
-                            f'not in the validation loss dict; available: '
-                            f'{sorted(vdict)}')
-                    valid_monitors.append(vdict[self._monitor_key])
+                        # phase-dependent metrics (stitch_precision/recall
+                        # only enter the dict once epoch >= epoch_with_
+                        # stitches): fall back to the loss rule for this
+                        # epoch instead of killing the run — the structure-
+                        # change 'best' reset wipes loss-rule epochs anyway
+                        if not self._monitor_warned_absent:
+                            self._monitor_warned_absent = True
+                            print(f'Trainer::Warning::best_by metric '
+                                  f'{self._monitor_key!r} not in the '
+                                  f'validation loss dict this phase '
+                                  f'(available: {sorted(vdict)}); using the '
+                                  'validation-loss rule until it appears')
+                    else:
+                        valid_monitors.append(vdict[self._monitor_key])
             # stack on device first: one transfer, not one per batch
             valid_loss = float(jnp.mean(jnp.stack(valid_losses))) \
                 if valid_losses else float('nan')
@@ -495,6 +537,8 @@ class Trainer:
                     # bf16 epochs spends the budget where it matters
                     tail_start = epoch + 1
                     es_tracking.clear()
+                    # persist: a resumed run must not flip back to bf16
+                    self.experiment.add_statistic('f32_tail_entered', tail_start)
                     print('Trainer::early-stop signal in the bf16 phase -> '
                           'entering the f32 precision tail early')
                     continue
