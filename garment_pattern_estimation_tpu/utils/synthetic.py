@@ -93,9 +93,13 @@ TEMPLATES = {
         ],
     },
     'jumpsuit': {
+        # the bodice panels share the front/back CLASS ROLES with tee/tank
+        # (reference panel classes group panels across templates the same
+        # way — nn/data_configs/panel_classes_condenced.json): cross-template
+        # role sharing is what makes unseen-type recombination learnable
         'panels': [
-            ('jfront', dict(kind='quad', width=40, height=50, curve_top=0.1), [0, 0, 0], [0, 22, 11]),
-            ('jback', dict(kind='quad', width=42, height=52, curve_top=0.06), [0, 180, 0], [0, 22, -11]),
+            ('jfront', dict(kind='quad', width=40, height=50, curve_top=0.1), [0, 0, 0], [0, 22, 11], 'front'),
+            ('jback', dict(kind='quad', width=42, height=52, curve_top=0.06), [0, 180, 0], [0, 22, -11], 'back'),
             ('lpant', dict(kind='trapezoid', top_width=26, bottom_width=20, height=60), [0, 0, 0], [-12, -42, 9]),
             ('rpant', dict(kind='trapezoid', top_width=26, bottom_width=20, height=60), [0, 180, 0], [12, -42, -9]),
             ('hood', dict(kind='quad', width=26, height=30, curve_top=0.25), [30, 0, 0], [0, 62, -4]),
@@ -112,6 +116,68 @@ TEMPLATES = {
             (('lpant', 1), ('jfront', 0)),
             (('rpant', 1), ('jback', 0)),
             (('hood', 0), ('jback', 2)),
+        ],
+    },
+    # -------- additional SEEN templates (round-5 zero-shot support) -------
+    # These widen the seen distribution so the UNSEEN templates below become
+    # recombinations of seen factors (role x shape x height), mirroring how
+    # the reference's 7 unseen types recombine its 12 seen types
+    # (models/att/att.yaml:13-34). Key coverage:
+    #   tank        -> 2-panel quad garments in the front/back roles
+    #   pants/shorts-> standalone pant-role garments at two lengths
+    #   maxi_skirt  -> tall (h~85) garments
+    #   aline_skirt -> 4-edge trapezoid panels in a 2-panel garment
+    # so unseen 'dress' = tall 4-edge trapezoid front/back (novel role x
+    # shape x height combination) and 'vest' = strongly-curved quad
+    # front/back — both interpolations, neither memorized.
+    'tank': {
+        'panels': [
+            ('front', dict(kind='quad', width=36, height=50, curve_top=0.05), [0, 0, 0], [0, 18, 12]),
+            ('back', dict(kind='quad', width=38, height=51, curve_top=0.03), [0, 180, 0], [0, 18, -12]),
+        ],
+        'stitches': [
+            (('front', 1), ('back', 3)),
+            (('front', 3), ('back', 1)),
+        ],
+    },
+    'pants': {
+        'panels': [
+            ('lpant', dict(kind='trapezoid', top_width=28, bottom_width=22, height=65), [0, 0, 0], [-13, -45, 9]),
+            ('rpant', dict(kind='trapezoid', top_width=28, bottom_width=22, height=65), [0, 180, 0], [13, -45, -9]),
+        ],
+        'stitches': [
+            (('lpant', 0), ('rpant', 2)),
+            (('lpant', 2), ('rpant', 0)),
+        ],
+    },
+    'shorts': {
+        'panels': [
+            ('lpant', dict(kind='trapezoid', top_width=30, bottom_width=26, height=28), [0, 0, 0], [-13, -25, 9]),
+            ('rpant', dict(kind='trapezoid', top_width=30, bottom_width=26, height=28), [0, 180, 0], [13, -25, -9]),
+        ],
+        'stitches': [
+            (('lpant', 0), ('rpant', 2)),
+            (('lpant', 2), ('rpant', 0)),
+        ],
+    },
+    'maxi_skirt': {
+        'panels': [
+            ('sfront', dict(kind='trapezoid', top_width=34, bottom_width=70, height=85, n_side_splits=1), [0, 0, 0], [0, -55, 10]),
+            ('sback', dict(kind='trapezoid', top_width=36, bottom_width=72, height=86, n_side_splits=1), [0, 180, 0], [0, -55, -10]),
+        ],
+        'stitches': [
+            (('sfront', 1), ('sback', 4)),
+            (('sfront', 4), ('sback', 1)),
+        ],
+    },
+    'aline_skirt': {
+        'panels': [
+            ('sfront', dict(kind='trapezoid', top_width=36, bottom_width=72, height=45), [0, 0, 0], [0, -30, 10]),
+            ('sback', dict(kind='trapezoid', top_width=38, bottom_width=74, height=46), [0, 180, 0], [0, -30, -10]),
+        ],
+        'stitches': [
+            (('sfront', 0), ('sback', 2)),
+            (('sfront', 2), ('sback', 0)),
         ],
     },
     # -------- UNSEEN templates (generalization eval, never trained on) ----

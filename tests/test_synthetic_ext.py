@@ -42,6 +42,50 @@ def test_unseen_templates_build_valid_patterns(tmp_path):
         assert np.isfinite(outlines).all()
 
 
+def test_seen_templates_cover_unseen_factors(tmp_path):
+    """Round-5 zero-shot support: the seen set must contain 2-panel
+    front/back garments (tank), 4-edge trapezoid 2-panel garments
+    (aline_skirt), and tall garments (maxi_skirt) so dress/vest are
+    recombinations, not memorizations; every seen template must build a
+    valid padded tensor pattern."""
+    from garment_pattern_estimation_tpu.core.panel_classes import PanelClasses
+
+    seen = {n: t for n, t in synthetic.TEMPLATES.items() if not t.get('unseen')}
+    assert {'tank', 'pants', 'shorts', 'maxi_skirt', 'aline_skirt'} <= set(seen)
+    roles = {spec[4] if len(spec) > 4 else spec[0]
+             for t in seen.values() for spec in t['panels']}
+    assert roles == {'front', 'back', 'lsleeve', 'rsleeve',
+                     'sfront', 'sback', 'lpant', 'rpant', 'hood'}
+    # tank puts a 2-panel garment in the front/back roles (vest/dress slots)
+    tank_roles = {s[4] if len(s) > 4 else s[0]
+                  for s in seen['tank']['panels']}
+    assert tank_roles == {'front', 'back'}
+    # jumpsuit's bodice shares those roles too (cross-template class sharing)
+    jroles = {s[4] if len(s) > 4 else s[0] for s in seen['jumpsuit']['panels']}
+    assert {'front', 'back'} <= jroles
+
+    synthetic.panel_classes_for_templates(tmp_path / 'pc.json')
+    pc = PanelClasses(tmp_path / 'pc.json')
+    assert len(pc) == 9
+    rng = np.random.default_rng(11)
+    for name in seen:
+        pattern = synthetic.make_pattern(name, rng, panel_classifier=pc)
+        outlines, *_ = pattern.pattern_as_tensors(
+            pad_panels_to_len=14, pad_panels_num=len(pc),
+            pad_stitches_num=8, with_placement=True, with_stitches=True,
+            with_stitch_tags=True)
+        assert np.isfinite(outlines).all(), name
+        # every stitch references an existing panel/edge
+        for sides in synthetic.TEMPLATES[name]['stitches']:
+            for panel, edge in sides:
+                panel_def = dict(zip(
+                    [s[0] for s in synthetic.TEMPLATES[name]['panels']],
+                    [s for s in synthetic.TEMPLATES[name]['panels']]))
+                assert panel in panel_def, (name, panel)
+                built = pattern.pattern['panels'][panel]
+                assert edge < len(built['edges']), (name, panel, edge)
+
+
 def test_scan_imitation_files(tmp_path):
     from garment_pattern_estimation_tpu.preprocess import mesh
 
