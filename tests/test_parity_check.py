@@ -53,7 +53,7 @@ def parity_env(tmp_path_factory):
     # synthetic reference-format checkpoints (sizes must match the config;
     # max_pattern_len/max_panel_len are inferred from the synthetic data)
     replica = randomize_reference_weights(TorchGarmentSegmentPattern3D(
-        max_pattern_len=11, max_panel_len=6, element_size=4,
+        max_pattern_len=9, max_panel_len=6, element_size=4,
         panel_encoding_size=16, panel_hidden_size=16, panel_n_layers=1,
         econv_hidden=12, econv_hidden_depth=1, econv_feature=10,
         k_neighbors=5, conv_depth=1, skip_connections=True), seed=8)
