@@ -59,7 +59,14 @@ def main():
     import bench
 
     compute_dtype = 'bfloat16' if mode.endswith('_bf16') else None
-    if mode.startswith('train'):
+    if mode == 'stress':
+        # stress training step (128x10k): the chunked EdgeConv path
+        bench.measure_train_step(batch=128, num_points=10000, steps=1)
+        with jax.profiler.trace(str(log_dir)):
+            ms = bench.measure_train_step(batch=128, num_points=10000,
+                                          steps=2)
+        print(f'stress train step: {ms:.2f} ms')
+    elif mode.startswith('train'):
         # warm compile outside the trace
         bench.measure_train_step(steps=2, compute_dtype=compute_dtype)
         with jax.profiler.trace(str(log_dir)):
