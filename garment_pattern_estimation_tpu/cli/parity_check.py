@@ -91,6 +91,23 @@ def get_args(argv=None):
                              '(the mean paired delta cancels per-seed '
                              'training chaos and exposes a real systematic '
                              'bias)')
+    parser.add_argument('--resume', action='store_true',
+                        help='if --output already exists, reload it and skip '
+                             'every training arm it already contains; each '
+                             'completed arm is flushed to --output '
+                             'immediately, so a killed campaign (VM restart, '
+                             'preemption) resumes at the next arm instead of '
+                             'from scratch. Valid only for the SAME '
+                             'config/dataset/split/seed arguments (the '
+                             'materialized batches are seed-pinned).')
+    parser.add_argument('--stop_after_jax', action='store_true',
+                        help='with --torch_train_cross_check: exit after the '
+                             'accelerator-side arms (our base + --jax_seeds) '
+                             'are trained and flushed — releases the TPU '
+                             'client before the hours-long host-side torch '
+                             'phase; rerun the same command with --resume '
+                             '(optionally under JAX_PLATFORM_NAME=cpu) to '
+                             'add the torch arms')
     parser.add_argument('--torch_from_report', default='',
                         help='reuse the torch columns (trained metrics + '
                              'noise-seed metrics) of a previous '
@@ -219,6 +236,28 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
     from ..experiment.torch_import import import_shape_model
     from ..experiment.torch_reference import train_reference_torch
 
+    # --resume: reload a previous (partial) report and skip completed arms.
+    # Training arms stash their full metric dicts under `_resume_*` keys and
+    # flush the report to --output after EVERY arm, so a killed campaign
+    # loses at most the arm in flight.
+    if args.resume and Path(args.output).exists():
+        prior_state = json.loads(Path(args.output).read_text())
+        report.update(prior_state)
+        done = [k for k in ('_resume_jax_base_metrics',
+                            '_resume_torch_base_metrics') if k in prior_state]
+        done += [f'{k}[{len(prior_state[k])}]'
+                 for k in ('_resume_jax_seed_metrics',
+                           '_resume_torch_noise_metrics') if prior_state.get(k)]
+        print(f'parity_check::resuming from {args.output}; completed arms: '
+              f'{done or "none"}', flush=True)
+
+    def _scalars(metrics):
+        return {k: float(v) for k, v in metrics.items()
+                if np.ndim(v) == 0 and np.isfinite(float(v))}
+
+    def flush():
+        Path(args.output).write_text(json.dumps(report, indent=1))
+
     loss_cfg = model.loss.config
     unsupported = [c for c in loss_cfg['loss_components']
                    if c not in ('shape', 'loop', 'rotation', 'translation',
@@ -339,16 +378,26 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
         params, stats = best[1] if best[1] is not None else (params, stats)
         return {'params': params, 'batch_stats': stats}, hist
 
-    trained_vars, jax_hist = run_jax_training(variables)
-    print('parity_check::evaluating our trained model on the test split')
-    ours = eval_metrics(model, trained_vars, wrapper, 'test')
+    if '_resume_jax_base_metrics' in report:
+        print('parity_check::our base arm reloaded from the resume report')
+        ours = dict(report['_resume_jax_base_metrics'])
+    else:
+        trained_vars, jax_hist = run_jax_training(variables)
+        print('parity_check::evaluating our trained model on the test split')
+        ours = eval_metrics(model, trained_vars, wrapper, 'test')
+        report['_resume_jax_base_metrics'] = _scalars(ours)
+        report['_jax_loss_first_step'] = float(jax_hist[0])
+        report['_jax_loss_last_epoch_mean'] = float(
+            np.mean(jax_hist[-len(epoch_batches[-1]):]))
+        flush()
 
     # extra JAX seeds (the paired-delta instrument): for init seed s, torch
     # and JAX both start from the torch.manual_seed(s) weights, so
     # (jax_s, torch_s) are matched pairs — run these BEFORE the hour-long
     # torch phase while this process still owns the accelerator
-    jax_seed_metrics = []
-    for extra in range(1, (args.jax_seeds or 0) + 1):
+    jax_seed_metrics = [dict(m) for m in
+                        report.get('_resume_jax_seed_metrics', [])]
+    for extra in range(len(jax_seed_metrics) + 1, (args.jax_seeds or 0) + 1):
         seed = args.train_seed + extra
         print(f'parity_check::training JAX seed {seed} '
               f'({extra}/{args.jax_seeds})')
@@ -361,10 +410,25 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
                 init_pth, model_name=config['NN'].get('model'))['variables']
         tv, _ = run_jax_training(vars_s)
         jax_seed_metrics.append(eval_metrics(model, tv, wrapper, 'test'))
+        report['_resume_jax_seed_metrics'] = [
+            _scalars(m) for m in jax_seed_metrics]
+        flush()
+
+    if args.stop_after_jax:
+        flush()
+        print('parity_check::--stop_after_jax — accelerator arms complete '
+              f'({1 + len(jax_seed_metrics)} trained); rerun with --resume '
+              'to add the torch arms')
+        report['stopped_after_jax'] = True
+        return ours, []
+    report.pop('stopped_after_jax', None)
 
     prior = json.loads(Path(args.torch_from_report).read_text()) \
         if args.torch_from_report else None
-    if prior is not None:
+    if '_resume_torch_base_metrics' in report:
+        print('parity_check::torch base arm reloaded from the resume report')
+        torch_metrics = dict(report['_resume_torch_base_metrics'])
+    elif prior is not None:
         # reuse the torch columns of a previous report (identical config,
         # dataset, split, and materialized batches by construction — the
         # loaders are seed-pinned) instead of re-paying hours of host-side
@@ -383,19 +447,21 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
             epoch_with_stitches=epoch_with_stitches,
             stitch_margin=loss_cfg.get('stitch_tags_margin', 0.3),
             use_hardnet=loss_cfg.get('stitch_hardnet_version', False))
-        report['train_loss_first_step'] = {'torch': torch_hist[0],
-                                           'ours': jax_hist[0]}
+        report['train_loss_first_step'] = {
+            'torch': torch_hist[0], 'ours': report['_jax_loss_first_step']}
         report['train_loss_last_epoch'] = {
             'torch': float(np.mean(torch_hist[-len(epoch_batches[-1]):])),
-            'ours': float(np.mean(jax_hist[-len(epoch_batches[-1]):]))}
+            'ours': report['_jax_loss_last_epoch_mean']}
         print(f"parity_check::first-step loss torch={torch_hist[0]:.5f} "
-              f"ours={jax_hist[0]:.5f}; last-epoch mean "
+              f"ours={report['_jax_loss_first_step']:.5f}; last-epoch mean "
               f"torch={report['train_loss_last_epoch']['torch']:.5f} "
               f"ours={report['train_loss_last_epoch']['ours']:.5f}")
 
         print('parity_check::evaluating the torch model on the test split '
               '(same metric stack)')
         torch_metrics = _torch_eval_metrics(replica, wrapper, model)
+        report['_resume_torch_base_metrics'] = _scalars(torch_metrics)
+        flush()
     metric_keys = SHAPE_METRICS + (
         ('stitch_precision', 'stitch_recall', 'free_edge_acc')
         if has_stitch_terms else ())
@@ -411,13 +477,16 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
     floors = None
     seed_metrics = list(prior.get('torch_noise_seed_metrics', [])) \
         if prior else []
+    if not seed_metrics:
+        seed_metrics = [dict(m) for m in
+                        report.get('_resume_torch_noise_metrics', [])]
     if args.noise_floor:
         # extra torch runs: same batches/schedule, init seeds +1..+N — the
         # metric spread among torch seeds is the noise the converged-metric
         # comparison inherits; a cross-framework delta inside that envelope
         # is indistinguishable from reference-vs-reference. One seed gives a
         # single pairwise delta (underestimates the envelope); prefer 3+.
-        for extra in range(1, max(args.noise_seeds, 1) + 1):
+        for extra in range(len(seed_metrics) + 1, max(args.noise_seeds, 1) + 1):
             seed = args.train_seed + extra
             print(f'parity_check::noise floor — training torch seed {seed} '
                   f'({extra}/{args.noise_seeds})')
@@ -432,6 +501,9 @@ def _train_cross_check(args, config, dataset, wrapper, model, report):
                 use_hardnet=loss_cfg.get('stitch_hardnet_version', False))
             metrics_n = _torch_eval_metrics(replica_n, wrapper, model)
             seed_metrics.append(metrics_n)
+            report['_resume_torch_noise_metrics'] = [
+                _scalars(m) for m in seed_metrics]
+            flush()
             print('parity_check::seed %d metrics: %s' % (seed, {
                 k: round(metrics_n[k], 5)
                 for k in metric_keys if k in metrics_n}), flush=True)

@@ -178,6 +178,12 @@ class EdgeConv(nn.Module):
     # True/False force
     train_chunked: bool | None = None
     train_chunk_size: int | None = None
+    # sweep schedule of the chunked training path: 'chunked' (L statistics
+    # sweeps + full final sweep), 'fused_final' (final sweep folded into the
+    # last statistics sweep — exact, same memory, default), 'streamed'
+    # (additionally stores the layer-(L-2) activations to kill the O(L^2)
+    # recompute — exact, costs one (B, N, k, H) HBM buffer)
+    train_mode: str = 'fused_final'
 
     # the unfused path materializes (B, N, k, W) for the WIDEST W among the
     # gathered neighbors (C — the 2C edge concat never materializes with
@@ -212,7 +218,8 @@ class EdgeConv(nn.Module):
                        else {}))
                 out, stats_pairs = chunked_edgeconv_train(
                     x, idx, self.get_variable('params', 'MLP_0'),
-                    chunk=self.train_chunk_size, aggr=self.aggr)
+                    chunk=self.train_chunk_size, aggr=self.aggr,
+                    mode=self.train_mode)
                 mlp(None, train=True, stats_pairs=stats_pairs)
                 return out
 
@@ -298,6 +305,9 @@ class EdgeConvFeatures(nn.Module):
     # (ops/edgeconv_train); None = the ~256 MB-per-intermediate auto size.
     # Exposed as `NN.edgeconv_train_chunk` for stress-scale tuning
     train_chunk_size: int | None = None
+    # sweep schedule of the chunked training path (EdgeConv.train_mode);
+    # exposed as `NN.edgeconv_train_mode`
+    train_mode: str = 'fused_final'
     # precision islands under bf16 compute: conv layer ids kept at f32.
     # Rationale: conv0 ingests raw (standardized) geometry, where bf16
     # rounding is ~40% relative noise on the x_j - x_i neighbor differences
@@ -326,6 +336,7 @@ class EdgeConvFeatures(nn.Module):
                            aggr=self.econv_aggr, use_pallas=self.use_pallas,
                            compute_dtype=conv_dtype,
                            train_chunk_size=self.train_chunk_size,
+                           train_mode=self.train_mode,
                            name=f'conv{conv_id}')(out, train=train)
             if self.graph_pooling:
                 if self.skip_connections:

@@ -75,6 +75,9 @@ class GarmentFullPattern3DModule(nn.Module):
     f32_attention_mlp: bool = False
     # chunk size for the chunked EdgeConv training path (NN.edgeconv_train_chunk)
     edgeconv_train_chunk: int | None = None
+    # sweep schedule of the chunked EdgeConv training path
+    # (NN.edgeconv_train_mode: 'chunked' | 'fused_final' | 'streamed')
+    edgeconv_train_mode: str = 'fused_final'
 
     def setup(self):
         self.encoder = self._make_encoder()
@@ -106,6 +109,7 @@ class GarmentFullPattern3DModule(nn.Module):
                 use_pallas=self.use_pallas, compute_dtype=self.compute_dtype,
                 f32_conv_layers=self.f32_conv_layers,
                 train_chunk_size=self.edgeconv_train_chunk,
+                train_mode=self.edgeconv_train_mode,
                 name='feature_extractor')
         if self.feature_extractor == 'EdgeConvPoolingFeatures':
             return encoder_cls(

@@ -112,6 +112,9 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
     f32_attention_mlp = bool(nn_config.pop('f32_attention_mlp', False))
     # chunked-EdgeConv training sweep width (stress-scale tuning knob)
     edgeconv_train_chunk = nn_config.pop('edgeconv_train_chunk', None)
+    # chunked-EdgeConv sweep schedule: 'chunked' | 'fused_final' | 'streamed'
+    # (ops/edgeconv_train — identical math, different recompute/memory)
+    edgeconv_train_mode = nn_config.pop('edgeconv_train_mode', 'fused_final')
     loss_config = dict(loss_config or {})
 
     if model_name in ('GarmentFullPattern3D', 'GarmentSegmentPattern3D'):
@@ -141,6 +144,7 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
             f32_conv_layers=f32_conv_layers,
             f32_attention_mlp=f32_attention_mlp,
             edgeconv_train_chunk=edgeconv_train_chunk,
+            edgeconv_train_mode=edgeconv_train_mode,
         )
         for key, value in config.items():
             field = _FIELD_MAP.get(key, key)
@@ -163,6 +167,7 @@ def build_model(model_name, data_config, nn_config=None, loss_config=None,
         merged['f32_conv_layers'] = list(f32_conv_layers)
         merged['f32_attention_mlp'] = f32_attention_mlp
         merged['edgeconv_train_chunk'] = edgeconv_train_chunk
+        merged['edgeconv_train_mode'] = edgeconv_train_mode
         return GarmentModel(model_name, module, merged, loss)
 
     if model_name == 'StitchOnEdge3DPairs':

@@ -93,7 +93,7 @@ def _apply_layers(edge_pair, layers, stats, upto, eps, final_relu_only=False):
 
 
 def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
-                           aggr='max'):
+                           aggr='max', mode='chunked'):
     """EdgeConv training forward with global BatchNorm batch statistics,
     computed in O(B * chunk * k * C) memory.
 
@@ -103,6 +103,23 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
       mlp_params: the layer's MLP params subtree (Dense_i / BatchNorm_i).
       chunk: queries per sweep step (default: whole N in one chunk when
         it is small, else ~512 padded to a divisor of N).
+      mode: execution strategy — identical math, different sweep schedules
+        (docs/Roofline.md "Layer-streamed statistics"):
+        * 'chunked': L statistics sweeps + a full final sweep (the round-4
+          baseline). Lowest memory, O(L^2) layer recomputes.
+        * 'fused_final': elides the final sweep. BatchNorm is a per-channel
+          affine a*h + c with a = gamma*rsqrt(var+eps), and max_k commutes
+          with it branchwise — max_k(a*h+c) = a*max_k(h)+c when a>0 and
+          a*min_k(h)+c when a<0 (mean/sum commute unconditionally) — so the
+          LAST statistics sweep also emits per-chunk max/min of the final
+          pre-BN activations and the output is a tiny elementwise combine.
+          Exact; no extra memory.
+        * 'streamed': 'fused_final' plus the sweep for layer L-2 stores its
+          post-ReLU activations (the scan's stacked ys, (B, N, k, H)), so
+          the last statistics sweep reads the buffer instead of recomputing
+          layers 0..L-2 per chunk. Exact; costs one (B, N, k, H) HBM buffer
+          (kept live for the backward pass) — at the 128x10k stress config
+          ~5.2 GB f32, the reason this is a mode and not the default.
     Returns (out (B, N, F), [(mean_l, var_l)] per layer) — both
     differentiable; statistics are biased (flax BatchNorm semantics).
     """
@@ -138,30 +155,100 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
         center = jax.lax.dynamic_slice_in_dim(x_q, start, chunk, axis=1)
         return center, nbr                       # factored: see _apply_layers
 
+    if mode not in ('chunked', 'fused_final', 'streamed'):
+        raise ValueError(f'unknown EdgeConv train mode {mode!r}')
+    if mode == 'fused_final' and layers[-1][2] is None:
+        # no statistics sweep for the last layer to ride — keep the plain
+        # final sweep (streamed runs its own buffer-fed final sweep instead)
+        mode = 'chunked'
+    fuse = mode in ('fused_final', 'streamed')
+    buf_layer = L - 2 if (mode == 'streamed' and L >= 2) else None
+
     count = B * N * k
     stats = []
+    h_buf = None      # streamed: stacked post-ReLU chunks of layer L-2
+    final_agg = None  # fused: per-chunk pre-BN aggregates of layer L-1
     for l in range(L):
-        if layers[l][2] is None:
+        need_stats = layers[l][2] is not None
+        produce_buf = l == buf_layer
+        is_final = fuse and l == L - 1
+        if not (need_stats or produce_buf or is_final):
             stats.append(None)
             continue
 
-        def stat_body(carry, start, _l=l):
+        def sweep_body(carry, xs, _l=l, _need=need_stats,
+                       _produce=produce_buf, _final=is_final):
             s1, s2 = carry
-            a = _apply_layers(edges_at(start), layers, stats, _l + 1, eps,
-                              final_relu_only=True)
-            a = jnp.where(chunk_valid(start), a, 0.0)
-            return (s1 + jnp.sum(a, axis=(0, 1, 2)),
-                    s2 + jnp.sum(a * a, axis=(0, 1, 2))), None
+            if buf_layer is not None and _l == L - 1:
+                # streamed final sweep: BN_{L-2}(stored buffer) -> layer L-1
+                start, h_prev = xs
+                gp, bp = layers[buf_layer][2], layers[buf_layer][3]
+                if gp is not None:
+                    m, v = stats[buf_layer]
+                    h_prev = (h_prev - m) * jax.lax.rsqrt(v + eps) * gp + bp
+                a = jnp.maximum(h_prev @ layers[_l][0] + layers[_l][1], 0.0)
+            else:
+                start = xs
+                a = _apply_layers(edges_at(start), layers, stats, _l + 1,
+                                  eps, final_relu_only=True)
+            if _need:
+                av = jnp.where(chunk_valid(start), a, 0.0)
+                carry = (s1 + jnp.sum(av, axis=(0, 1, 2)),
+                         s2 + jnp.sum(av * av, axis=(0, 1, 2)))
+            if _final:
+                if aggr == 'max':
+                    ys = (jnp.max(a, axis=2), jnp.min(a, axis=2))
+                elif aggr == 'mean':
+                    ys = jnp.mean(a, axis=2)
+                else:
+                    ys = jnp.sum(a, axis=2)
+            elif _produce:
+                ys = a
+            else:
+                ys = None
+            return carry, ys
 
         width = layers[l][0].shape[1]
-        (s1, s2), _ = jax.lax.scan(
-            jax.checkpoint(stat_body),
+        xs = (starts, h_buf) if (buf_layer is not None and l == L - 1) \
+            else starts
+        (s1, s2), ys = jax.lax.scan(
+            jax.checkpoint(sweep_body),
             (jnp.zeros(width, jnp.float32), jnp.zeros(width, jnp.float32)),
-            starts)
-        mean = s1 / count
-        # E[a^2] - E[a]^2, clamped like flax BatchNorm's biased estimator
-        var = jnp.maximum(s2 / count - mean * mean, 0.0)
-        stats.append((mean, var))
+            xs)
+        if need_stats:
+            mean = s1 / count
+            # E[a^2] - E[a]^2, clamped like flax BatchNorm's biased estimator
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            stats.append((mean, var))
+        else:
+            stats.append(None)
+        if is_final:
+            final_agg = ys
+        elif produce_buf:
+            h_buf = ys
+
+    if fuse:
+        # BN_{L-1} is a per-channel affine a*h + c; apply it AFTER the
+        # k-aggregation (exact: max_k commutes branchwise on sign(a),
+        # mean/sum commute unconditionally)
+        gamma, beta = layers[-1][2], layers[-1][3]
+        if gamma is not None:
+            m, v = stats[-1]
+            a_aff = gamma * jax.lax.rsqrt(v + eps)
+            c_aff = beta - m * a_aff
+        else:
+            width = layers[-1][0].shape[1]
+            a_aff = jnp.ones(width, jnp.float32)
+            c_aff = jnp.zeros(width, jnp.float32)
+        if aggr == 'max':
+            mx, mn = final_agg
+            outs = jnp.where(a_aff > 0, mx * a_aff + c_aff,
+                             mn * a_aff + c_aff)
+        elif aggr == 'mean':
+            outs = final_agg * a_aff + c_aff
+        else:  # sum: the affine constant adds once per neighbor slot
+            outs = final_agg * a_aff + k * c_aff
+        return jnp.moveaxis(outs, 0, 1).reshape(B, N + pad, -1)[:, :N], stats
 
     def out_body(_, start):
         h = _apply_layers(edges_at(start), layers, stats, L, eps)

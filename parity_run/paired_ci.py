@@ -22,12 +22,21 @@ METRICS = ('panel_shape_l2', 'num_panels_accuracy', 'num_edges_accuracy',
 
 
 def pairs_from_report(report):
-    """[(torch_metrics, jax_metrics)] matched by init seed."""
-    torch_pool = [report['torch_trained_metrics']] \
-        + list(report.get('torch_noise_seed_metrics', []))
-    jax_pool = [report['trained_shape_metrics']] \
-        + list(report.get('jax_seed_metrics', []))
-    return list(zip(torch_pool, jax_pool))
+    """[(torch_metrics, jax_metrics)] matched by init seed.
+
+    Falls back to the incremental `_resume_*` stashes parity_check flushes
+    after every arm, so a campaign interrupted mid-run still yields every
+    completed pair."""
+    torch_pool = [report.get('torch_trained_metrics')
+                  or report.get('_resume_torch_base_metrics')] \
+        + list(report.get('torch_noise_seed_metrics')
+               or report.get('_resume_torch_noise_metrics', []))
+    jax_pool = [report.get('trained_shape_metrics')
+                or report.get('_resume_jax_base_metrics')] \
+        + list(report.get('jax_seed_metrics')
+               or report.get('_resume_jax_seed_metrics', []))
+    return [(t, j) for t, j in zip(torch_pool, jax_pool)
+            if t is not None and j is not None]
 
 
 def main(argv=None):

@@ -348,3 +348,69 @@ def test_parity_check_jax_seeds_and_torch_reuse(parity_env, tmp_path,
     assert 'panel_shape_l2' in second['torch_noise_floor']
     assert any(c['metric'].startswith('torch_trained:')
                for c in second['comparisons'])
+
+
+def test_parity_check_stop_after_jax_and_resume(parity_env, tmp_path,
+                                                monkeypatch, capsys):
+    """--stop_after_jax trains only the accelerator arms and flushes them;
+    rerunning the same campaign with --resume skips every completed arm
+    (the VM-restart recovery path: each arm is flushed to --output the
+    moment it finishes)."""
+    root, data, shape_yaml, _, _, _ = parity_env
+    monkeypatch.chdir(tmp_path)
+    from garment_pattern_estimation_tpu.cli import parity_check
+
+    out = tmp_path / 'ab.json'
+    base_args = [
+        '--dataset_root', str(data), '--shape_config', str(shape_yaml),
+        '--torch_train_cross_check', '--train_epochs', '2',
+        '--tolerance', '0.9', '--jax_seeds', '1',
+        '--noise_floor', '--noise_seeds', '1',
+        '--resume', '--output', str(out)]
+
+    rc = parity_check.main(base_args + ['--stop_after_jax'])
+    assert rc == 0
+    r1 = json.loads(out.read_text())
+    assert r1['stopped_after_jax'] is True
+    assert 'panel_shape_l2' in r1['_resume_jax_base_metrics']
+    assert len(r1['_resume_jax_seed_metrics']) == 1
+    # no torch arm has trained yet
+    assert 'torch_trained_metrics' not in r1
+    assert '_resume_torch_base_metrics' not in r1
+    capsys.readouterr()
+
+    # resume: jax arms reload, only the torch arms train
+    rc = parity_check.main(base_args)
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert 'our base arm reloaded' in printed
+    assert 'training JAX seed' not in printed
+    r2 = json.loads(out.read_text())
+    assert 'stopped_after_jax' not in r2
+    assert r2['trained_shape_metrics']['panel_shape_l2'] == \
+        r1['_resume_jax_base_metrics']['panel_shape_l2']
+    assert len(r2['paired_cross_framework_deltas']
+               ['panel_shape_l2']['per_seed_signed']) == 2
+    capsys.readouterr()
+
+    # a fully-complete report resumes as a pure no-op: nothing retrains
+    rc = parity_check.main(base_args)
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert 'training the torch reference recipe' not in printed
+    assert 'noise floor' not in printed
+    r3 = json.loads(out.read_text())
+    assert r3['torch_trained_metrics'] == r2['torch_trained_metrics']
+    assert r3['torch_noise_seed_metrics'] == r2['torch_noise_seed_metrics']
+
+    # paired_ci consumes partially-completed reports via the _resume_ stashes
+    import importlib.util as ilu
+    from pathlib import Path
+    spec = ilu.spec_from_file_location(
+        'paired_ci',
+        Path(__file__).resolve().parent.parent / 'parity_run' / 'paired_ci.py')
+    paired_ci = ilu.module_from_spec(spec)
+    spec.loader.exec_module(paired_ci)
+    partial = {k: v for k, v in r2.items() if k.startswith('_resume_')}
+    assert len(paired_ci.pairs_from_report(partial)) == 2
+    assert len(paired_ci.pairs_from_report(r1)) == 0
