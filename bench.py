@@ -69,7 +69,7 @@ def measure_inference(batch, num_points, warmup=1, iters=50,
 
 def measure_train_step(batch=30, num_points=2000, steps=50,
                        compute_dtype=None, edgeconv_train_chunk=None,
-                       f32_conv_layers=()):
+                       f32_conv_layers=(), edgeconv_train_mode=None):
     """Published training recipe step time — and, at (128, 10000), the
     stress-config TRAINING step: the chunked rematerialized EdgeConv path
     (ops/edgeconv_train, auto-enabled past 128 MB of gathered edges) keeps
@@ -80,13 +80,16 @@ def measure_train_step(batch=30, num_points=2000, steps=50,
     the `nn.compute_dtype` config knob). `edgeconv_train_chunk` overrides
     the chunked-training sweep width (NN.edgeconv_train_chunk);
     `f32_conv_layers` measures the precision-island mode
-    (NN.f32_conv_layers)."""
+    (NN.f32_conv_layers). `edgeconv_train_mode` selects the chunked-path
+    sweep schedule (NN.edgeconv_train_mode: chunked|fused_final|streamed)."""
     return _measure_train_step(batch, num_points, steps, compute_dtype,
-                               edgeconv_train_chunk, f32_conv_layers)
+                               edgeconv_train_chunk, f32_conv_layers,
+                               edgeconv_train_mode)
 
 
 def _measure_train_step(batch, num_points, steps, compute_dtype=None,
-                        edgeconv_train_chunk=None, f32_conv_layers=()):
+                        edgeconv_train_chunk=None, f32_conv_layers=(),
+                        edgeconv_train_mode=None):
     """Published training recipe step time: att model at full scale, composed
     loss with quality metrics (configs/att.yaml), Adam, donated buffers.
     Steps are dispatched back-to-back (async) and synced once at the end —
@@ -112,6 +115,8 @@ def _measure_train_step(batch, num_points, steps, compute_dtype=None,
         nn_config['edgeconv_train_chunk'] = edgeconv_train_chunk
     if f32_conv_layers:
         nn_config['f32_conv_layers'] = list(f32_conv_layers)
+    if edgeconv_train_mode:
+        nn_config['edgeconv_train_mode'] = edgeconv_train_mode
     model = build_model('GarmentSegmentPattern3D', DATA_CONFIG, nn_config,
                         loss_config)
 
