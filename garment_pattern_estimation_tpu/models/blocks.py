@@ -205,11 +205,13 @@ class EdgeConv(nn.Module):
                 widest = max([C] + list(self.mlp_features))
                 chunked = (B * N * min(self.k, N) * widest * 4
                            > self._CHUNK_TRAIN_BYTES)
-            if chunked and self.compute_dtype is None:
+            if chunked:
                 # chunked + rematerialized training path: the (B, N, k, C)
                 # gather and per-layer MLP intermediates never materialize
                 # (stress-config training would OOM otherwise); BN batch
-                # statistics are global, gradients exact (edgeconv_train)
+                # statistics are global, gradients exact (edgeconv_train).
+                # compute_dtype runs the sweep matmuls in bf16 with f32
+                # statistics, mirroring the unfused mixed-precision split
                 idx = knn_search(
                     jax.lax.stop_gradient(x).astype(jnp.float32),
                     min(self.k, N), use_pallas=self.use_pallas,
@@ -219,7 +221,7 @@ class EdgeConv(nn.Module):
                 out, stats_pairs = chunked_edgeconv_train(
                     x, idx, self.get_variable('params', 'MLP_0'),
                     chunk=self.train_chunk_size, aggr=self.aggr,
-                    mode=self.train_mode)
+                    mode=self.train_mode, compute_dtype=self.compute_dtype)
                 mlp(None, train=True, stats_pairs=stats_pairs)
                 return out
 

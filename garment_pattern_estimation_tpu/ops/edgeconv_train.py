@@ -63,7 +63,8 @@ def _layer_params(mlp_params):
     return layers
 
 
-def _apply_layers(edge_pair, layers, stats, upto, eps, final_relu_only=False):
+def _apply_layers(edge_pair, layers, stats, upto, eps, final_relu_only=False,
+                  dtype=None):
     """Layers [0, upto): Dense -> ReLU -> BN with the given global stats.
     When `final_relu_only`, layer upto-1 stops after ReLU (its statistics
     are what the caller is accumulating).
@@ -73,27 +74,39 @@ def _apply_layers(edge_pair, layers, stats, upto, eps, final_relu_only=False):
     concat(c, n - c) @ W = c @ (W_top - W_bot) + b + n @ W_bot, so the
     center term is one narrow matmul per chunk row and the (B, c, k, 2C)
     concatenated edge tensor never materializes in any sweep (mirrors
-    models/blocks.MLP edge_pair mode)."""
+    models/blocks.MLP edge_pair mode).
+
+    `dtype` (e.g. bf16) runs the matmuls/ReLU at that precision on the MXU;
+    BatchNorm normalization stays f32 — the same split as the unfused
+    mixed-precision path (models/blocks.MLP: bf16 layer math, explicit f32
+    statistics reductions)."""
     center, nbr = edge_pair
+    if dtype is not None:
+        center, nbr = center.astype(dtype), nbr.astype(dtype)
     h = None
     for l in range(upto):
         W, b, gamma, beta = layers[l]
+        if dtype is not None:
+            W, b = W.astype(dtype), b.astype(dtype)
         if l == 0:
             C = center.shape[-1]
             point_term = center @ (W[:C] - W[C:]) + b           # (B, c, H)
             h = jnp.maximum(point_term[:, :, None, :] + nbr @ W[C:], 0.0)
         else:
+            if dtype is not None:
+                h = h.astype(dtype)
             h = jnp.maximum(h @ W + b, 0.0)
         if final_relu_only and l == upto - 1:
             return h
         if gamma is not None:
             mean, var = stats[l]
-            h = (h - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+            h = (h.astype(jnp.float32) - mean) \
+                * jax.lax.rsqrt(var + eps) * gamma + beta
     return h
 
 
 def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
-                           aggr='max', mode='chunked'):
+                           aggr='max', mode='chunked', compute_dtype=None):
     """EdgeConv training forward with global BatchNorm batch statistics,
     computed in O(B * chunk * k * C) memory.
 
@@ -120,6 +133,9 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
           layers 0..L-2 per chunk. Exact; costs one (B, N, k, H) HBM buffer
           (kept live for the backward pass) — at the 128x10k stress config
           ~5.2 GB f32, the reason this is a mode and not the default.
+      compute_dtype: e.g. 'bfloat16' — layer matmuls/ReLU at that precision
+        on the MXU, statistics accumulation and BatchNorm normalization in
+        f32 (mirrors the unfused mixed-precision path, models/blocks.MLP).
     Returns (out (B, N, F), [(mean_l, var_l)] per layer) — both
     differentiable; statistics are biased (flax BatchNorm semantics).
     """
@@ -127,6 +143,7 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
     k = idx.shape[-1]
     layers = _layer_params(mlp_params)
     L = len(layers)
+    cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     if chunk is None:
         widest = max([C] + [w.shape[1] for w, *_ in layers])
@@ -185,14 +202,20 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
                 gp, bp = layers[buf_layer][2], layers[buf_layer][3]
                 if gp is not None:
                     m, v = stats[buf_layer]
-                    h_prev = (h_prev - m) * jax.lax.rsqrt(v + eps) * gp + bp
-                a = jnp.maximum(h_prev @ layers[_l][0] + layers[_l][1], 0.0)
+                    h_prev = (h_prev.astype(jnp.float32) - m) \
+                        * jax.lax.rsqrt(v + eps) * gp + bp
+                Wl, bl = layers[_l][0], layers[_l][1]
+                if cdtype is not None:
+                    h_prev, Wl, bl = (h_prev.astype(cdtype),
+                                      Wl.astype(cdtype), bl.astype(cdtype))
+                a = jnp.maximum(h_prev @ Wl + bl, 0.0)
             else:
                 start = xs
                 a = _apply_layers(edges_at(start), layers, stats, _l + 1,
-                                  eps, final_relu_only=True)
+                                  eps, final_relu_only=True, dtype=cdtype)
             if _need:
-                av = jnp.where(chunk_valid(start), a, 0.0)
+                av = jnp.where(chunk_valid(start),
+                               a.astype(jnp.float32), 0.0)
                 carry = (s1 + jnp.sum(av, axis=(0, 1, 2)),
                          s2 + jnp.sum(av * av, axis=(0, 1, 2)))
             if _final:
@@ -240,6 +263,8 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
             width = layers[-1][0].shape[1]
             a_aff = jnp.ones(width, jnp.float32)
             c_aff = jnp.zeros(width, jnp.float32)
+        final_agg = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.float32), final_agg)
         if aggr == 'max':
             mx, mn = final_agg
             outs = jnp.where(a_aff > 0, mx * a_aff + c_aff,
@@ -251,7 +276,8 @@ def chunked_edgeconv_train(x, idx, mlp_params, *, eps=1e-5, chunk=None,
         return jnp.moveaxis(outs, 0, 1).reshape(B, N + pad, -1)[:, :N], stats
 
     def out_body(_, start):
-        h = _apply_layers(edges_at(start), layers, stats, L, eps)
+        h = _apply_layers(edges_at(start), layers, stats, L, eps,
+                          dtype=cdtype)
         if aggr == 'max':
             return None, jnp.max(h, axis=2)
         if aggr == 'mean':

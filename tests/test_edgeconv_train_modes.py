@@ -209,3 +209,45 @@ def test_nn_config_mode_knob_plumbs_through():
                              'panel_n_layers': 1},
                             {'loss_components': ['shape']})
     assert model_def.config['edgeconv_train_mode'] == 'fused_final'
+
+
+@pytest.mark.parametrize('mode', ('chunked',) + MODES)
+def test_bf16_chunked_matches_unfused_bf16(mode):
+    """compute_dtype='bfloat16' now reaches the chunked path (previously it
+    forced the unfused path, which OOMs at stress scale): bf16 sweep
+    matmuls + f32 statistics must track the unfused mixed-precision path
+    within bf16 rounding."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 40, 6)).astype(np.float32))
+    conv_ref = EdgeConv([16, 12], k=4, use_pallas=False,
+                        compute_dtype='bfloat16', train_chunked=False)
+    variables = conv_ref.init(jax.random.PRNGKey(0), x, train=True)
+    conv_chk = EdgeConv([16, 12], k=4, use_pallas=False,
+                        compute_dtype='bfloat16', train_chunked=True,
+                        train_chunk_size=16, train_mode=mode)
+
+    out_ref, mut_ref = conv_ref.apply(variables, x, train=True,
+                                      mutable=['batch_stats'])
+    out_chk, mut_chk = conv_chk.apply(variables, x, train=True,
+                                      mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(out_chk, np.float32),
+                               np.asarray(out_ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    _tree_close(mut_chk['batch_stats'], mut_ref['batch_stats'],
+                rtol=3e-2, atol=3e-2)
+    # and against the exact f32 unfused path: bf16 rounding, nothing worse
+    conv_f32 = EdgeConv([16, 12], k=4, use_pallas=False, train_chunked=False)
+    out_f32, _ = conv_f32.apply(variables, x, train=True,
+                                mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(out_chk, np.float32),
+                               np.asarray(out_f32), rtol=5e-2, atol=5e-2)
+
+    def loss(conv, p):
+        out, _ = conv.apply({'params': p,
+                             'batch_stats': variables['batch_stats']},
+                            x, train=True, mutable=['batch_stats'])
+        return jnp.sum(out.astype(jnp.float32) ** 2) / out.size
+
+    g_ref = jax.grad(lambda p: loss(conv_ref, p))(variables['params'])
+    g_chk = jax.grad(lambda p: loss(conv_chk, p))(variables['params'])
+    _tree_close(g_chk, g_ref, rtol=1.5e-1, atol=3e-2)
