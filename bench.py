@@ -418,6 +418,23 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f'bench::warning::stress train bench failed ({e})', file=sys.stderr)
     try:
+        # mixed-precision stress training (newly chunked-path-capable):
+        # streamed is fastest where its bf16 buffers compile; fall back to
+        # the default fused_final schedule if the compile service balks
+        try:
+            ms = measure_train_step(batch=128, num_points=10000, steps=2,
+                                    compute_dtype='bfloat16',
+                                    edgeconv_train_mode='streamed')
+            extras['stress_train_step_bf16_mode'] = 'streamed'
+        except Exception:  # noqa: BLE001
+            ms = measure_train_step(batch=128, num_points=10000, steps=2,
+                                    compute_dtype='bfloat16')
+            extras['stress_train_step_bf16_mode'] = 'fused_final'
+        extras['stress_train_step_bf16_128x10k_ms'] = round(ms, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f'bench::warning::bf16 stress train bench failed ({e})',
+              file=sys.stderr)
+    try:
         extras['serving_artifact_clouds_per_sec'] = round(
             measure_serving_artifact(), 2)
     except Exception as e:  # noqa: BLE001
